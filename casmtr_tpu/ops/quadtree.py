@@ -1,0 +1,362 @@
+"""Quadtree attention (QTAttA / QTAttB / QTAttGuided / CascadeQTAttB) in JAX.
+
+Functional re-implementation of the reference algorithms
+(reference: cuda_imp/QuadTreeAttention/QuadtreeAttention/modules/
+quadtree_attention.py:8-452) on top of the ``gather_ops`` kernel boundary.
+
+Semantics preserved exactly:
+* pyramid processed coarsest -> finest (reference :245 ``reversed``);
+* full attention + top-k at the coarsest level (:161-178);
+* at finer levels each query 2x2-child block attends to the 4 children of the
+  previous level's top-k keys (:180-229); candidate order is
+  ``c = k*4 + (dr*2+dc)`` for offsets (dr,dc) in row-major order (:195-199);
+* per-level messages merged with softmax(level_weight), progressively
+  un-blocked 2x upward (:262-286).
+
+Layouts are TPU-native: tokens [B, L, H, D] with heads/features last.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from casmtr_tpu.ops.gather_ops import gather_scores, gather_aggregate
+
+
+def block_children(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, h*w, ...] -> [B, (h//2)*(w//2), 4, ...] grouping 2x2 blocks.
+
+    Child order is row-major within the block: (0,0),(0,1),(1,0),(1,1) —
+    matches reference rearrange 'b c h t1 w t2 -> b (h w) (t1 t2) c'.
+    """
+    B = x.shape[0]
+    rest = x.shape[2:]
+    x = x.reshape(B, h // 2, 2, w // 2, 2, *rest)
+    x = jnp.moveaxis(x, 2, 3)  # [B, h/2, w/2, 2, 2, ...]
+    return x.reshape(B, (h // 2) * (w // 2), 4, *rest)
+
+
+def unblock_children(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
+    """Inverse of ``block_children``: [B, h2*w2, 4, ...] -> [B, (2h2)*(2w2), ...]."""
+    B = x.shape[0]
+    rest = x.shape[3:]
+    x = x.reshape(B, h2, w2, 2, 2, *rest)
+    x = jnp.moveaxis(x, 3, 2)  # [B, h2, 2, w2, 2, ...]
+    return x.reshape(B, h2 * 2 * w2 * 2, *rest)
+
+
+def topk_lastaxis_at(x: jnp.ndarray, k: int, axis: int):
+    """top_k along ``axis`` (descending), returning (values, indices) with the
+    k-axis placed where ``axis`` was."""
+    xm = jnp.moveaxis(x, axis, -1)
+    v, i = jax.lax.top_k(xm, k)
+    return jnp.moveaxis(v, -1, axis), jnp.moveaxis(i, -1, axis)
+
+
+def expand_child_indices(topk_idx: jnp.ndarray, w_prev: int, w_cur: int,
+                         dilated: int = 1, clamp_max: Optional[int] = None
+                         ) -> jnp.ndarray:
+    """Previous-level top-k indices -> flattened 4-children candidate indices.
+
+    Args:
+      topk_idx: [B, P, K, H] int32 flat indices into the previous (coarser) grid.
+      w_prev: width of the previous grid.
+      w_cur: width of the current (2x finer) grid.
+      dilated: child offset stride (reference CascadeQTAttB ``dilated``; :424-427).
+      clamp_max: if given, clamp flat indices to [0, clamp_max].
+    Returns:
+      idx [B, P, K*4, H] with candidate order c = k*4 + (dr*2+dc).
+    """
+    rows = (topk_idx // w_prev) * 2
+    cols = (topk_idx % w_prev) * 2
+    cands = []
+    for dr in (0, dilated):
+        for dc in (0, dilated):
+            cands.append((rows + dr) * w_cur + (cols + dc))
+    idx = jnp.stack(cands, axis=3)  # [B, P, K, 4, H]
+    B, P, K = idx.shape[:3]
+    idx = idx.reshape(B, P, K * 4, idx.shape[-1])
+    if clamp_max is not None:
+        idx = jnp.clip(idx, 0, clamp_max)
+    return idx
+
+
+def _coarse_level(q, k, v, topk: int, rel_pos=None):
+    """Full attention + top-k at the coarsest pyramid level.
+
+    reference: quadtree_attention.py:161-178 (QTAttB.process_coarse_level).
+    q/k/v: [B, L, H, D]. Returns (A, message, topk_score, topk_idx)."""
+    D = q.shape[-1]
+    qk = jnp.einsum("blhd,bshd->blsh", q, k,
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
+    if rel_pos is not None:
+        qk = qk + rel_pos
+    A = jax.nn.softmax(qk, axis=2)  # over keys
+    topk_score, topk_idx = topk_lastaxis_at(A, topk, axis=2)  # [B,L,K,H]
+    message = jnp.einsum("blsh,bshd->blhd", A, v,
+                         preferred_element_type=jnp.float32)
+    return A, message, topk_score, topk_idx.astype(jnp.int32)
+
+
+def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
+                  hw_k: Tuple[int, int], w_prev: int, rel_pos=None):
+    """One fine level of QTAttB (reference: quadtree_attention.py:180-229).
+
+    q: [B, Lq, H, D] current level queries; k/v: [B, Lk, H, D];
+    topk_idx_prev: [B, P, K, H] flat indices into the previous coarser grid
+    (P == Lq//4). Returns (message[B,P,4,H,D], topk_score, topk_idx) where the
+    top-k outputs are un-blocked to [B, Lq, k_new, H].
+    """
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    D = q.shape[-1]
+    K_prev = topk_idx_prev.shape[2]
+
+    qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
+    idx = expand_child_indices(topk_idx_prev, w_prev, w1)  # [B, P, 4K, H]
+
+    qk = gather_scores(qb, k, idx) * (D ** -0.5)          # [B, P, 4, 4K, H]
+    if rel_pos is not None:
+        # rel_pos: [B_or_1, H, Lq, Lk] full bias, gathered at the candidates
+        # (reference :211-215).
+        rp = jnp.broadcast_to(rel_pos, (q.shape[0],) + rel_pos.shape[1:])
+        rp = jnp.moveaxis(rp, 1, -1)                      # [B, Lq, Lk, H]
+        rp = block_children(rp, h0, w0)                   # [B, P, 4, Lk, H]
+        rp = jnp.take_along_axis(rp, idx[:, :, None], axis=3)
+        qk = qk + rp
+
+    A = jax.nn.softmax(qk, axis=3)                        # over 4K candidates
+    message = gather_aggregate(A, v, idx)                 # [B, P, 4, H, D]
+
+    topk_score, topk_local = topk_lastaxis_at(A, topk, axis=3)  # [B,P,4,k,H]
+    idx_rep = jnp.broadcast_to(idx[:, :, None], A.shape)  # [B, P, 4, 4K, H]
+    topk_idx = jnp.take_along_axis(idx_rep, topk_local, axis=3)  # [B,P,4,k,H]
+
+    topk_score = unblock_children(topk_score, h0 // 2, w0 // 2)  # [B, Lq, k, H]
+    topk_idx = unblock_children(topk_idx, h0 // 2, w0 // 2)
+    return A, message, topk_score, topk_idx
+
+
+def _merge_messages(messages: List[jnp.ndarray], parent_hw: List[Tuple[int, int]],
+                    weight: jnp.ndarray, lepe: Optional[List[jnp.ndarray]] = None):
+    """Merge per-level messages with softmax(weight), un-blocking 2x per level.
+
+    reference: quadtree_attention.py:262-286.  messages[0]: [B, L0, H, D]
+    (coarsest); messages[i>0]: [B, P_i, 4, H, D].  parent_hw[i] is the (h, w)
+    of the *parent* grid of level i (i.e. the previous level's dims)."""
+    w = jax.nn.softmax(weight)
+    final = messages[0] * w[0]
+    if lepe is not None:
+        final = (messages[0] + lepe[0]) * w[0]
+    for i in range(1, len(messages)):
+        m = messages[i]
+        if lepe is not None:
+            m = m + lepe[i]
+        final = final[:, :, None] + m * w[i]
+        hp, wp = parent_hw[i]
+        final = unblock_children(final, hp, wp)
+    return final
+
+
+def qtatt_b(queries: Sequence[jnp.ndarray], keys: Sequence[jnp.ndarray],
+            values: Sequence[jnp.ndarray], sizes: Sequence[Tuple[int, int]],
+            topks: Sequence[int], merge_weight: jnp.ndarray,
+            lepe: Optional[Sequence[jnp.ndarray]] = None,
+            rel_pos: Optional[Sequence[jnp.ndarray]] = None) -> jnp.ndarray:
+    """QTAttB forward (reference: quadtree_attention.py:231-286).
+
+    Args:
+      queries/keys/values: pyramid lists, FINEST level first (reference input
+        order), each [B, L_i, H, D].
+      sizes: (h_i, w_i) per level, finest first.
+      topks: per-level top-k, applied coarsest-first (reference ``topks[i]``
+        over the reversed pyramid).
+      merge_weight: [num_levels] learned level-merge logits.
+      lepe: optional per-level (finest-first) locally-enhanced PE tensors
+        [B, L_i, H, D] added to each message before weighting.
+      rel_pos: optional per-level (coarsest-first) [1_or_B, H, Lq_i, Lk_i] biases.
+    Returns:
+      merged message [B, L_finest, H, D] (float32).
+    """
+    n_levels = len(queries)
+    messages, parent_hw = [], []
+    topk_idx = None
+    topk = topks[0]
+    lepe_rev = list(reversed(lepe)) if lepe is not None else None
+
+    for i in range(n_levels):
+        li = n_levels - 1 - i  # index into finest-first lists, coarsest first
+        q, k, v = queries[li], keys[li], values[li]
+        h, w = sizes[li]
+        rp = rel_pos[i] if rel_pos is not None else None
+        if i == 0:
+            _, msg, _, topk_idx = _coarse_level(q, k, v, topk, rel_pos=rp)
+            parent_hw.append((h, w))
+        else:
+            w_prev = sizes[li + 1][1]
+            topk_prev = topk
+            topk = topks[i]
+            _, msg, _, topk_idx = _fine_level_b(
+                q, k, v, topk_idx, topk, (h, w), (h, w), w_prev, rel_pos=rp)
+            parent_hw.append(sizes[li + 1])
+        messages.append(msg)
+
+    return _merge_messages(messages, parent_hw, merge_weight, lepe=lepe_rev)
+
+
+def qtatt_a(queries, keys, values, sizes, topks) -> jnp.ndarray:
+    """QTAttA forward (reference: quadtree_attention.py:8-140).
+
+    Differences from B: (1) messages exclude the top-k keys at non-final levels
+    (they are refined at the next level instead, :36-42); (2) fine-level scores
+    are redistributed by the parent's top-k score via a per-candidate-block
+    softmax over the 4 children (:73-77); (3) messages are merged by plain
+    summation during upward un-blocking (:130-139)."""
+    n_levels = len(queries)
+    messages, parent_hw = [], []
+    topk = topks[0]
+    topk_idx = None
+    topk_score = None
+
+    for i in range(n_levels):
+        li = n_levels - 1 - i
+        q, k, v = queries[li], keys[li], values[li]
+        h, w = sizes[li]
+        final = i == n_levels - 1
+        D = q.shape[-1]
+        if i == 0:
+            qk = jnp.einsum("blhd,bshd->blsh", q, k,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+            A = jax.nn.softmax(qk, axis=2)
+            topk_score, topk_idx = topk_lastaxis_at(A, topk, axis=2)
+            topk_idx = topk_idx.astype(jnp.int32)
+            # zero out top-k entries for the message (reference :37-42)
+            mask = jnp.ones_like(A)
+            oneh = jax.nn.one_hot(jnp.moveaxis(topk_idx, 2, -1), A.shape[2],
+                                  dtype=A.dtype)  # [B,L,H,K,S]
+            mask = mask * (1.0 - jnp.clip(oneh.sum(axis=-2), 0, 1)
+                           .transpose(0, 1, 3, 2))
+            msg = jnp.einsum("blsh,bshd->blhd", A * mask, v,
+                             preferred_element_type=jnp.float32)
+            parent_hw.append((h, w))
+        else:
+            w_prev = sizes[li + 1][1]
+            topk_prev = topk
+            topk = topks[i]
+            qb = block_children(q, h, w)
+            idx = expand_child_indices(topk_idx, w_prev, w)  # [B,P,4K,H]
+            qk = gather_scores(qb, k, idx) * (D ** -0.5)     # [B,P,4,4K,H]
+            B, P = qk.shape[:2]
+            H = qk.shape[-1]
+            qk5 = qk.reshape(B, P, 4, topk_prev, 4, H)
+            A = jax.nn.softmax(qk5, axis=4)  # over each parent's 4 children
+            # redistribute by parent score (reference :76-77)
+            ts = topk_score[:, :, None, :, None, :]  # [B,P,1,K,1,H]
+            A = (A * ts).reshape(B, P, 4, topk_prev * 4, H)
+            topk_score, topk_local = topk_lastaxis_at(A, topk, axis=3)
+            idx_rep = jnp.broadcast_to(idx[:, :, None], A.shape)
+            topk_idx = jnp.take_along_axis(idx_rep, topk_local, axis=3)
+            if not final:
+                oneh = jax.nn.one_hot(jnp.moveaxis(topk_local, 3, -1),
+                                      A.shape[3], dtype=A.dtype)  # [B,P,4,H,k,4K]
+                mask = 1.0 - jnp.clip(oneh.sum(axis=-2), 0, 1)
+                mask = jnp.moveaxis(mask, 3, -1)  # [B,P,4,4K,H]
+                msg = gather_aggregate(A * mask, v, idx)
+                topk_score = unblock_children(topk_score, h // 2, w // 2)
+                topk_idx = unblock_children(topk_idx, h // 2, w // 2)
+            else:
+                msg = gather_aggregate(A, v, idx)
+            parent_hw.append(sizes[li + 1])
+        messages.append(msg)
+
+    # plain-sum merge (reference :130-139)
+    final_msg = messages[0]
+    for i in range(1, len(messages)):
+        final_msg = final_msg[:, :, None] + messages[i]
+        hp, wp = parent_hw[i]
+        final_msg = unblock_children(final_msg, hp, wp)
+    return final_msg
+
+
+def qtatt_guided(queries, keys, values, sizes, topks, merge_weight,
+                 topk_pos_idx: jnp.ndarray) -> jnp.ndarray:
+    """QTAttGuided forward (reference: quadtree_attention.py:289-389).
+
+    Like QTAttB but the initial top-k positions are injected externally
+    (``topk_pos_idx`` [B, L_coarsest, K, H] flat indices at the coarsest-level
+    *parent* grid) and every level runs the fine-level path. The merge
+    un-blocks at every level including the first (:380-387)."""
+    n_levels = len(queries)
+    messages, parent_hw = [], []
+    topk = topks[0]
+    topk_idx = topk_pos_idx
+
+    for i in range(n_levels):
+        li = n_levels - 1 - i
+        q, k, v = queries[li], keys[li], values[li]
+        h, w = sizes[li]
+        topk_prev = topk
+        topk = topks[i]
+        # Parent grid of the coarsest level is the (2x coarser) virtual grid.
+        w_prev = sizes[li + 1][1] if li + 1 < n_levels else w // 2
+        _, msg, _, topk_idx = _fine_level_b(
+            q, k, v, topk_idx, topk, (h, w), (h, w), w_prev)
+        parent_hw.append((h // 2, w // 2))
+        messages.append(msg)
+
+    w_merge = jax.nn.softmax(merge_weight)
+    final = None
+    for i, m in enumerate(messages):
+        if i == 0:
+            final = m * w_merge[i]
+        else:
+            final = final[:, :, None] + m * w_merge[i]
+        hp, wp = parent_hw[i]
+        final = unblock_children(final, hp, wp) if final.ndim == 5 else final
+    return final
+
+
+def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
+                    hw_k: Tuple[int, int], dilated: int = 1,
+                    rel_pos: Optional[jnp.ndarray] = None):
+    """CascadeQTAttB: single-level window cross-attention over 2x-upsampled
+    positions (reference: quadtree_attention.py:392-452).
+
+    Args:
+      q: [B, Lq, H, D] (current level); k/v: [B, Lk, H, D].
+      topk_pos: [B, P, Kw, 2] int32 (row, col) coords on the PREVIOUS (2x
+        coarser) grid, P == Lq//4.
+      hw_q/hw_k: current grids.
+      dilated: child expansion stride (reference :424-427).
+      rel_pos: optional [B, H, Lq, Kw*4] windowed relative PE (reference :438-441).
+    Returns:
+      (message [B, Lq, H, D], upsampled_idx [B, Lq, Kw*4] int32).
+    """
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    Kw = topk_pos.shape[2]
+
+    flat_prev = topk_pos[..., 0] * (w1 // 2) + topk_pos[..., 1]  # [B, P, Kw]
+    flat_prev = jnp.broadcast_to(flat_prev[..., None], (B, Lq // 4, Kw, H))
+    idx = expand_child_indices(flat_prev, w1 // 2, w1, dilated=dilated,
+                               clamp_max=h1 * w1 - 1)  # [B, P, 4Kw, H]
+
+    qb = block_children(q, h0, w0)                      # [B, P, 4, H, D]
+    qk = gather_scores(qb, k, idx) * (D ** -0.5)        # [B, P, 4, 4Kw, H]
+    if rel_pos is not None:
+        rp = jnp.moveaxis(rel_pos, 1, -1)               # [B, Lq, 4Kw, H]
+        rp = block_children(rp, h0, w0)                 # [B, P, 4, 4Kw, H]
+        qk = qk + rp
+    A = jax.nn.softmax(qk, axis=3)
+    message = gather_aggregate(A, v, idx)               # [B, P, 4, H, D]
+    message = unblock_children(message, h0 // 2, w0 // 2)  # [B, Lq, H, D]
+
+    # per-query candidate set at full res (head 0; identical across heads)
+    up_idx = jnp.broadcast_to(idx[:, :, None, :, 0],
+                              (B, Lq // 4, 4, 4 * Kw))
+    up_idx = unblock_children(up_idx, h0 // 2, w0 // 2)  # [B, Lq, 4Kw]
+    return message, up_idx
