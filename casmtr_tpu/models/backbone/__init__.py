@@ -1,0 +1,28 @@
+"""Backbone registry (reference: src/model/backbone/__init__.py:5-19)."""
+
+from casmtr_tpu.models.backbone.resnet_fpn import (
+    ResNetFPN_8_2, ResNetFPN_8_4_2, Ladder_4_2)
+
+
+def build_backbone(config):
+    """config: LoftrConfig. Returns a flax module producing the pyramid
+    [1/8, (1/4,), 1/2] features, finest last."""
+    bb = config.backbone
+    btype = bb.backbone_type
+    res = tuple(config.resolution)
+    if btype == "ResNetFPN":
+        if res == (8, 2):
+            return ResNetFPN_8_2(initial_dim=bb.initial_dim,
+                                 block_dims=tuple(bb.block_dims),
+                                 is_rgb=config.is_rgb)
+        if res == (8, 4, 2):
+            return ResNetFPN_8_4_2(initial_dim=bb.initial_dim,
+                                   block_dims=tuple(bb.block_dims),
+                                   is_rgb=config.is_rgb)
+        raise ValueError(f"unsupported resolution {res} for ResNetFPN")
+    if btype == "Twins":
+        from casmtr_tpu.models.backbone.twins import TwinsFPN_8_4_2
+        return TwinsFPN_8_4_2(initial_dim=bb.initial_dim,
+                              block_dims=tuple(bb.block_dims),
+                              model_type=bb.model_type or "large")
+    raise ValueError(f"unknown backbone {btype}")

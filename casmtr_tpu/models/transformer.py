@@ -1,0 +1,210 @@
+"""Coarse-level transformer stacks in flax.
+
+Re-designs reference src/model/modules/transformer.py:39-307
+(Mlp-with-DWConv, LoFTREncoderLayer, QuadtreeBlock, LocalFeatureTransformer)
+on NHWC/token layouts. Attention math lives in casmtr_tpu.ops; these modules
+hold the parameters and wiring. Param names mirror the torch module names for
+checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from casmtr_tpu.config import CoarseConfig
+from casmtr_tpu.ops.attention import full_attention, linear_attention
+from casmtr_tpu.ops.image_ops import avg_pool_2x2
+from casmtr_tpu.ops.quadtree import qtatt_a, qtatt_b, qtatt_guided
+
+_TRUNC = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Mlp(nn.Module):
+    """fc1 -> ReLU -> 3x3 depthwise conv -> GELU -> fc2
+    (reference transformer.py:53-92)."""
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        B, L, _ = x.shape
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC, name="fc1")(x)
+        x = nn.relu(x)
+        xi = x.reshape(B, h, w, self.hidden)
+        xi = nn.Conv(self.hidden, (3, 3), padding=1,
+                     feature_group_count=self.hidden,
+                     name="dwconv_dwconv")(xi)
+        x = xi.reshape(B, L, self.hidden)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, kernel_init=_TRUNC, name="fc2")(x)
+
+
+class LoFTREncoderLayer(nn.Module):
+    """Linear/full-attention encoder layer with cat-MLP residual
+    (reference transformer.py:95-148)."""
+    d_model: int
+    nhead: int
+    attention: str = "linear"
+
+    @nn.compact
+    def __call__(self, x, source, x_mask=None, source_mask=None):
+        B = x.shape[0]
+        D = self.d_model // self.nhead
+        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(source)
+        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(source)
+        q = q.reshape(B, -1, self.nhead, D)
+        k = k.reshape(B, -1, self.nhead, D)
+        v = v.reshape(B, -1, self.nhead, D)
+        attn = linear_attention if self.attention == "linear" else full_attention
+        msg = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+        msg = msg.reshape(B, -1, self.d_model).astype(x.dtype)
+        msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
+        msg = nn.LayerNorm(name="norm1")(msg)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp_2")(y)
+        y = nn.LayerNorm(name="norm2")(y)
+        return x + y
+
+
+class QuadtreeAttention(nn.Module):
+    """q/k/v projections + avg-pool pyramid + QTAtt{A,B,Guided} + out proj
+    (reference src/model/modules/quadtree_attention.py:9-99).
+
+    The per-level merge logits live here as param 'py_att_weight' (torch:
+    ``py_att.weight``)."""
+    dim: int
+    num_heads: int
+    topks: Tuple[int, ...]
+    scale: int = 3
+    attn_type: str = "B"
+    lepe: bool = False
+
+    @nn.compact
+    def __call__(self, x, target, hw_x: Tuple[int, int],
+                 hw_t: Tuple[int, int], topk_pos=None):
+        B, L, C = x.shape
+        h, w = hw_x
+        h1, w1 = hw_t
+        D = self.dim // self.num_heads
+
+        xi = x.reshape(B, h, w, C)
+        ti = target.reshape(B, h1, w1, C)
+        # 1x1 convs == position-wise dense (reference uses Conv2d k=1)
+        q = nn.Dense(self.dim, use_bias=False, name="q_proj")(xi)
+        k = nn.Dense(self.dim, use_bias=False, name="k_proj")(ti)
+        v = nn.Dense(self.dim, use_bias=False, name="v_proj")(ti)
+
+        qs, ks, vs, sizes = [], [], [], []
+        qq, kk, vv = q, k, v
+        hh, ww = h, w
+        for i in range(self.scale):
+            qs.append(qq.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
+            ks.append(kk.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
+            vs.append(vv.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
+            sizes.append((hh, ww))
+            if i != self.scale - 1:
+                qq = avg_pool_2x2(qq)
+                kk = avg_pool_2x2(kk)
+                vv = avg_pool_2x2(vv)
+                hh, ww = hh // 2, ww // 2
+
+        if self.attn_type in ("B", "Guided"):
+            weight = self.param("py_att_weight", nn.initializers.normal(1.0),
+                                (self.scale,))
+        lepe_msgs = None
+        if self.lepe:
+            lepe_msgs = []
+            for i in range(self.scale):
+                hh, ww = sizes[self.scale - 1 - i]
+                vi = vs[self.scale - 1 - i].reshape(B, hh, ww, self.dim)
+                le = nn.Conv(self.dim, (3, 3), padding=1,
+                             feature_group_count=self.dim,
+                             name=f"get_vs_{i}")(vi)
+                lepe_msgs.append(le.reshape(B, hh * ww, self.num_heads, D))
+            lepe_msgs = list(reversed(lepe_msgs))  # finest-first
+
+        if self.attn_type == "A":
+            msg = qtatt_a(qs, ks, vs, sizes, list(self.topks))
+        elif self.attn_type == "Guided":
+            msg = qtatt_guided(qs, ks, vs, sizes, list(self.topks), weight,
+                               topk_pos)
+        else:
+            msg = qtatt_b(qs, ks, vs, sizes, list(self.topks), weight,
+                          lepe=lepe_msgs)
+        msg = msg.reshape(B, L, self.dim).astype(x.dtype)
+        return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg)
+
+
+class QuadtreeBlock(nn.Module):
+    """PreNorm quadtree attention + DWConv-MLP block
+    (reference transformer.py:151-195). norm1 is shared between x and target."""
+    dim: int
+    num_heads: int
+    topks: Tuple[int, ...]
+    scale: int = 3
+    attn_type: str = "B"
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, target, hw_x, hw_t, topk_pos=None):
+        norm1 = nn.LayerNorm(name="norm1")
+        attn = QuadtreeAttention(self.dim, self.num_heads, self.topks,
+                                 scale=self.scale, attn_type=self.attn_type,
+                                 name="attn")
+        x = x + attn(norm1(x), norm1(target), hw_x, hw_t, topk_pos=topk_pos)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), hw_x[0], hw_x[1])
+        return x
+
+
+class LocalFeatureTransformer(nn.Module):
+    """Interleaved self/cross stack at the 1/8 level
+    (reference transformer.py:198-307).
+
+    For block_type='quadtree' the cross update is symmetric: both directions
+    are computed from the pre-update features then assigned (reference :300).
+    For block_type='loftr' the updates are sequential (reference :284-290).
+    """
+    config: CoarseConfig
+    train_size: int
+
+    @nn.compact
+    def __call__(self, feat0, feat1, hw0: Tuple[int, int], hw1: Tuple[int, int],
+                 mask0=None, mask1=None):
+        cfg = self.config
+        layers = []
+        for li, name in enumerate(cfg.layer_names):
+            if cfg.block_type == "loftr":
+                layers.append(LoFTREncoderLayer(
+                    cfg.d_model, cfg.nhead, cfg.attention,
+                    name=f"layers_{li}"))
+            elif cfg.block_type == "quadtree":
+                layers.append(QuadtreeBlock(
+                    cfg.d_model, cfg.nhead, tuple(cfg.topks),
+                    scale=3, attn_type=cfg.attn_type, name=f"layers_{li}"))
+            else:
+                raise ValueError(cfg.block_type)
+
+        for layer, name in zip(layers, cfg.layer_names):
+            if cfg.block_type == "loftr":
+                if name == "self":
+                    feat0 = layer(feat0, feat0, mask0, mask0)
+                    feat1 = layer(feat1, feat1, mask1, mask1)
+                else:
+                    feat0 = layer(feat0, feat1, mask0, mask1)
+                    feat1 = layer(feat1, feat0, mask1, mask0)
+            else:
+                if name == "self":
+                    feat0 = layer(feat0, feat0, hw0, hw0)
+                    feat1 = layer(feat1, feat1, hw1, hw1)
+                else:  # symmetric simultaneous cross (reference :300)
+                    feat0, feat1 = (layer(feat0, feat1, hw0, hw1),
+                                    layer(feat1, feat0, hw1, hw0))
+        return feat0, feat1
