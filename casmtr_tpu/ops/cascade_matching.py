@@ -1,0 +1,197 @@
+"""Cascade-level windowed one-sided softmax matching with static shapes.
+
+Functional equivalent of the reference ``CascadeMatching``
+(reference: src/model/functions/cascade_matching.py:35-331): the K3 gathered
+window score + softmax, reverse-direction double check, the test-time
+filtering chain (post-process -> previous-stage confidence gates), window
+border masks, and the training-time window-label conversion — all with
+fixed-capacity top-M extraction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from casmtr_tpu.ops import nms
+from casmtr_tpu.ops.gather_ops import window_score
+from casmtr_tpu.ops.image_ops import resize_nearest
+from casmtr_tpu.ops.matching import grid_to_pixels, select_topm, valid_extent
+from casmtr_tpu.structs import Matches
+
+INF = 1e9
+
+
+class WindowSoftmaxResult(NamedTuple):
+    conf01: jnp.ndarray       # [B, L0, Kw]
+    conf10: jnp.ndarray       # [B, L1, Kw]
+    next_idx_c01: jnp.ndarray  # [B, L0] int32 global idx into L1
+    next_idx_c10: jnp.ndarray  # [B, L1]
+    next_conf_c01: jnp.ndarray
+    next_conf_c10: jnp.ndarray
+    next_local_c01: jnp.ndarray  # [B, L0] int32 window-local argmax
+
+
+def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
+                            mask0=None, mask1=None) -> WindowSoftmaxResult:
+    """Window-restricted softmax both directions
+    (reference cascade_matching.py:87-149; the 1->0 direction is detached).
+
+    feat0: [B, L0, C]; feat1: [B, L1, C]; idx_c01: [B, L0, Kw] int32.
+    mask0/1: [B, L] flat padding masks.
+    """
+    c = feat0.shape[-1]
+    f0 = feat0.astype(jnp.float32) / (c ** 0.5)
+    f1 = feat1.astype(jnp.float32) / (c ** 0.5)
+
+    sim01 = window_score(f0, f1, idx_c01) / temperature   # [B, L0, Kw]
+    if mask0 is not None:
+        wmask0 = jnp.take_along_axis(
+            jnp.broadcast_to(mask1[:, None], (mask1.shape[0],
+                                              idx_c01.shape[1],
+                                              mask1.shape[1])), idx_c01, axis=2)
+        wmask0 = (wmask0 * mask0[:, :, None]) > 0
+        sim01 = jnp.where(wmask0, sim01, -INF)
+    conf01 = jax.nn.softmax(sim01, axis=2)
+
+    sim10 = jax.lax.stop_gradient(
+        window_score(f1, f0, idx_c10)) / temperature
+    if mask0 is not None:
+        wmask1 = jnp.take_along_axis(
+            jnp.broadcast_to(mask0[:, None], (mask0.shape[0],
+                                              idx_c10.shape[1],
+                                              mask0.shape[1])), idx_c10, axis=2)
+        wmask1 = (wmask1 * mask1[:, :, None]) > 0
+        sim10 = jnp.where(wmask1, sim10, -INF)
+    conf10 = jax.nn.softmax(sim10, axis=2)
+
+    local01 = conf01.argmax(axis=2).astype(jnp.int32)
+    next_conf01 = jnp.take_along_axis(conf01, local01[..., None], 2)[..., 0]
+    next_idx01 = jnp.take_along_axis(idx_c01, local01[..., None], 2)[..., 0]
+    local10 = conf10.argmax(axis=2).astype(jnp.int32)
+    next_conf10 = jnp.take_along_axis(conf10, local10[..., None], 2)[..., 0]
+    next_idx10 = jnp.take_along_axis(idx_c10, local10[..., None], 2)[..., 0]
+    return WindowSoftmaxResult(conf01, conf10, next_idx01, next_idx10,
+                               next_conf01, next_conf10, local01)
+
+
+def window_border_ok(next_idx_c01, hw0, hw1, bd: int,
+                     mask0_2d=None, mask1_2d=None) -> jnp.ndarray:
+    """Border validity of (source position, matched target position)
+    (reference cascade_functions.py:120-172 mask_window_border[_with_padding]).
+
+    Note the reference masks only the NEAR borders (:b) plus per-sample far
+    borders when padding masks exist; without masks it also trims the far grid
+    edge. Target test uses strict compare (x < b or x > W1 - b)."""
+    B, L0 = next_idx_c01.shape
+    h0, w0 = hw0
+    h1, w1 = hw1
+    if bd <= 0:
+        return jnp.ones((B, L0), bool)
+    i = jnp.arange(L0, dtype=jnp.int32)
+    r0 = (i // w0)[None]
+    c0 = (i % w0)[None]
+    ty = next_idx_c01 // w1
+    tx = next_idx_c01 % w1
+    ok = (r0 >= bd) & (c0 >= bd)
+    if mask0_2d is not None:
+        h0s, w0s = valid_extent(mask0_2d)
+        h1s, w1s = valid_extent(mask1_2d)
+        ok &= (r0 < h0s[:, None] - bd) & (c0 < w0s[:, None] - bd)
+        ok &= ~((tx < bd) | (tx > w1s[:, None] - bd)
+                | (ty < bd) | (ty > h1s[:, None] - bd))
+    else:
+        ok &= (r0 < h0 - bd) & (c0 < w0 - bd)
+        ok &= ~((tx < bd) | (tx > w1 - bd) | (ty < bd) | (ty > h1 - bd))
+    return ok
+
+
+def upscale_per_position(field: jnp.ndarray, hw_src, hw_dst) -> jnp.ndarray:
+    """[B, L_src] -> [B, L_dst] nearest upsampling of a per-position field
+    (reference cascade_matching.py:202-205 F.interpolate nearest)."""
+    B = field.shape[0]
+    f = field.reshape(B, hw_src[0], hw_src[1], 1).astype(jnp.float32)
+    f = resize_nearest(f, hw_dst[0], hw_dst[1])
+    return f.reshape(B, -1)
+
+
+def cascade_match_mask_test(
+        ws: WindowSoftmaxResult, hw0, hw1, test_thr: float, bd: int,
+        pre_confs: Sequence[jnp.ndarray], pre_hws: Sequence[Tuple[int, int]],
+        pre_thrs: Sequence[float], post_method: Optional[str],
+        post_window: Optional[int], post_topk: Optional[int] = None,
+        double_check: bool = True, mask0_2d=None, mask1_2d=None,
+        s_d2d=None, d2d_w=None) -> jnp.ndarray:
+    """Test-time filtering chain (reference cascade_matching.py:191-251)."""
+    mask = nms.post_process_mask(post_method, ws.next_conf_c01, hw0, test_thr,
+                                 window=post_window, topk=post_topk,
+                                 s_d2d=s_d2d, d2d_w=d2d_w)
+    for pre_conf, pre_hw, pre_thr in zip(pre_confs, pre_hws, pre_thrs):
+        up = upscale_per_position(pre_conf, pre_hw, hw0)
+        mask &= up > pre_thr
+    mask &= window_border_ok(ws.next_idx_c01, hw0, hw1, bd, mask0_2d, mask1_2d)
+    if double_check:
+        L0 = ws.next_idx_c01.shape[1]
+        arange = jnp.arange(L0, dtype=jnp.int32)[None]
+        back = jnp.take_along_axis(ws.next_idx_c10, ws.next_idx_c01, axis=1)
+        mask &= back == arange
+    return mask
+
+
+def cascade_match_mask_train(ws: WindowSoftmaxResult, thr: float,
+                             n_cands: int) -> jnp.ndarray:
+    """Training-time thresholding (reference cascade_matching.py:186-190):
+    confidences above uniform (1/Kw) when thr > 0, else above thr."""
+    if thr > 0:
+        return ws.next_conf_c01 > (1.0 / n_cands)
+    return ws.next_conf_c01 > thr
+
+
+def extract_cascade_matches(ws: WindowSoftmaxResult, mask: jnp.ndarray,
+                            hw0, hw1, m_cap: int, scale: float,
+                            scale0=None, scale1=None,
+                            priority: Optional[jnp.ndarray] = None,
+                            idx_c01: Optional[jnp.ndarray] = None,
+                            gt_idx_c01: Optional[jnp.ndarray] = None,
+                            gt_mask_c01: Optional[jnp.ndarray] = None):
+    """Fixed-capacity extraction (replaces reference :254-329).
+
+    In training mode (gt_idx_c01 given) only positions whose ground-truth
+    target lies inside the candidate window are selected (the reference's
+    ``window_gt_label.sum(-1) == 1`` filter + random subsample to
+    train_pad_num_gt_min, realized here as priority-ordered top-M), and the
+    per-match window labels are returned alongside.
+    """
+    B, L0 = ws.next_conf_c01.shape
+    h0, w0 = hw0
+
+    window_gt = None
+    if gt_idx_c01 is not None:
+        # [B, L0, Kw] one-hot of the gt target within the candidate window
+        window_gt = (gt_idx_c01[..., None] == idx_c01)
+        window_gt &= gt_mask_c01[..., None]
+        has_gt = window_gt.sum(-1) == 1
+        mask = mask & has_gt
+
+    prio = ws.next_conf_c01 if priority is None else priority
+    sel, valid = select_topm(mask.reshape(-1), prio.reshape(-1), m_cap)
+    b_ids = (sel // L0).astype(jnp.int32)
+    i_ids = (sel % L0).astype(jnp.int32)
+    j_ids = ws.next_idx_c01.reshape(-1)[sel]
+    mconf = jnp.where(valid, ws.next_conf_c01.reshape(-1)[sel], 0.0)
+
+    s0 = scale0[b_ids] if scale0 is not None else None
+    s1 = scale1[b_ids] if scale1 is not None else None
+    mkpts0 = grid_to_pixels(i_ids, w0, scale, s0)
+    mkpts1 = grid_to_pixels(j_ids, hw1[1], scale, s1)
+    matches = Matches(b_ids=b_ids, i_ids=i_ids, j_ids=j_ids, mconf=mconf,
+                      valid=valid, mkpts0=mkpts0, mkpts1=mkpts1)
+
+    extras = {}
+    if window_gt is not None:
+        Kw = idx_c01.shape[-1]
+        extras["window_gt_label"] = window_gt.reshape(-1, Kw)[sel]
+        extras["window_conf"] = ws.conf01.reshape(-1, Kw)[sel]
+    return matches, extras

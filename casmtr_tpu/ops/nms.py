@@ -1,0 +1,117 @@
+"""Test-time keypoint filtering / NMS (reference: src/model/functions/
+post_processing.py:35-147).
+
+``maxpool_nms`` (the released-model default) keeps a position iff it is the
+argmax of the window centred on it, with torch ``F.max_pool2d(return_indices)``
+first-index tie-breaking reproduced via a static scan over window offsets.
+The 'sift' variant (kornia ScaleSpaceDetector) is intentionally unsupported —
+it is not used by any released recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def maxpool_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int
+                     ) -> jnp.ndarray:
+    """[B, L] -> [B, L] bool: position is its own centred-window argmax
+    (reference post_processing.py:111-121)."""
+    B = conf.shape[0]
+    h, w = hw
+    c2 = conf.reshape(B, h, w)
+    pad = window // 2
+    best_val = jnp.full_like(c2, -jnp.inf)
+    best_idx = jnp.zeros_like(c2, dtype=jnp.int32)
+    base = (jnp.arange(h)[:, None] * w + jnp.arange(w)[None, :]).astype(jnp.int32)
+    cp = jnp.pad(c2, ((0, 0), (pad, pad), (pad, pad)),
+                 constant_values=-jnp.inf)
+    ip = jnp.pad(jnp.broadcast_to(base[None], (B, h, w)),
+                 ((0, 0), (pad, pad), (pad, pad)), constant_values=0)
+    # scan offsets in kernel row-major order; strict > keeps the FIRST max
+    for dy in range(window):
+        for dx in range(window):
+            v = cp[:, dy:dy + h, dx:dx + w]
+            i = ip[:, dy:dy + h, dx:dx + w]
+            take = v > best_val
+            best_val = jnp.where(take, v, best_val)
+            best_idx = jnp.where(take, i, best_idx)
+    return (best_idx == base[None]).reshape(B, -1)
+
+
+def local_window_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
+                          topk: int) -> jnp.ndarray:
+    """Keep top-k per non-overlapping window (reference :76-92)."""
+    B = conf.shape[0]
+    h, w = hw
+    c = conf.reshape(B, h // window, window, w // window, window)
+    c = jnp.moveaxis(c, 2, 3).reshape(B, -1, window * window)
+    _, top_i = jax.lax.top_k(c, topk)                # [B, nW, k] local idx
+    oneh = jax.nn.one_hot(top_i, window * window, dtype=jnp.bool_).any(axis=2)
+    oneh = oneh.reshape(B, h // window, w // window, window, window)
+    oneh = jnp.moveaxis(oneh, 3, 2).reshape(B, h * w)
+    return oneh
+
+
+def d2d_saliency(feat0: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Feature-statistics saliency S_as * S_rs computed at 1/4 of the level
+    grid (reference cascade_matching.py:90-104). feat0: [B, L, C] normalized
+    features. Returns [B, (h//4)*(w//4)]."""
+    B, L, C = feat0.shape
+    h, w = hw
+    s_as = jnp.std(feat0, axis=-1).reshape(B, h, w)
+    s_as = s_as[:, ::4, ::4]                          # nearest 0.25 resize
+    f2d = feat0.reshape(B, h, w, C)
+    # 5x5 centre-surround kernel, stride 4, per-channel
+    k = jnp.full((5, 5), -1.0 / 25.0).at[2, 2].set(24.0)
+    kern = jnp.broadcast_to(k[:, :, None, None], (5, 5, 1, C))
+    resp = jax.lax.conv_general_dilated(
+        f2d, kern, window_strides=(4, 4), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    s_rs = jnp.linalg.norm(resp, axis=-1)             # [B, h/4, w/4]
+    s_rs = (s_rs - s_rs.min()) / (s_rs.max() - s_rs.min() + 1e-12)
+    return (s_as * s_rs).reshape(B, -1)
+
+
+def d2d_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
+             s_d2d: jnp.ndarray, d2d_w: int) -> jnp.ndarray:
+    """NMS-count-matched top-k of the saliency map, scattered to the level
+    grid at 4x stride (reference post_processing.py:122-143)."""
+    B, L = conf.shape
+    nms = maxpool_nms_mask(conf, hw, window)
+    num = nms.sum(axis=1)                               # [B]
+    order = jnp.argsort(-s_d2d, axis=1)
+    rank = jnp.argsort(order, axis=1)                   # rank of each pos
+    sel = rank < num[:, None]                           # [B, hw/16]
+    pos = jnp.arange(s_d2d.shape[1], dtype=jnp.int32)
+    y4 = pos // d2d_w * 4
+    x4 = pos % d2d_w * 4
+    flat = y4 * (d2d_w * 4) + x4                        # [hw/16]
+    mask = jnp.zeros((B, L), bool)
+    mask = mask.at[:, flat].set(sel)
+    return mask
+
+
+def post_process_mask(method: Optional[str], conf: jnp.ndarray,
+                      hw: Tuple[int, int], test_thr: float,
+                      window: Optional[int] = None,
+                      topk: Optional[int] = None,
+                      s_d2d: Optional[jnp.ndarray] = None,
+                      d2d_w: Optional[int] = None) -> jnp.ndarray:
+    """Dispatch (reference post_processing.py:41-145). conf: [B, L]."""
+    if method is None:
+        return conf > test_thr
+    if method == "maxpool_nms":
+        m = maxpool_nms_mask(conf, hw, window)
+    elif method == "local_window_nms":
+        m = local_window_nms_mask(conf, hw, window, topk)
+    elif method == "d2d":
+        m = d2d_mask(conf, hw, window, s_d2d, d2d_w)
+    else:
+        raise NotImplementedError(
+            f"post-process '{method}' not supported (sift/softargmax_nms "
+            "require kornia and are unused by released recipes)")
+    return m & (conf > test_thr)

@@ -1,0 +1,144 @@
+"""End-to-end tests of the CasMTR cascade assemblies on tiny inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from casmtr_tpu.configs import build_config
+from casmtr_tpu.models.casmtr import CasMTR
+
+
+def tiny_casmtr_cfg(levels=(4,), self_attn="local", post_method=None):
+    n = len(levels)
+    cfg = build_config(overrides={
+        "loftr": {
+            "backbone": {"backbone_type": "ResNetFPN", "initial_dim": 8,
+                         "block_dims": [8, 12, 16]},
+            "resolution": [8, 4, 2],
+            "coarse": {"d_model": 16, "nhead": 2, "block_type": "quadtree",
+                       "attn_type": "B", "topks": [4, 4, 4],
+                       "layer_names": ["self", "cross"]},
+            "coarse2": {"d_model": 12, "nhead": 2,
+                        "layer_names": ["cross", "self", "cross"],
+                        "self_attn_type": self_attn, "window_size": 3,
+                        "attn_window_size": 3, "sr_ratio": 2,
+                        "post_config": {"method": post_method,
+                                        "window_size": 3}},
+            "coarse3": {"d_model": 8, "nhead": 2,
+                        "layer_names": ["cross", "self"],
+                        "self_attn_type": self_attn, "window_size": 3,
+                        "attn_window_size": 3, "sr_ratio": 2,
+                        "post_config": {"method": post_method,
+                                        "window_size": 3}},
+            "fine": {"d_model": 8, "nhead": 2,
+                     "layer_names": ["self", "cross"], "attention": "full"},
+            "match_coarse": {"max_matches": 16, "thr": 0.0, "border_rm": 0},
+            "match_cascade": {
+                "thr": [0.0] * n, "pre_thr": [[0.0]] * n,
+                "test_thr": [0.0] * n, "border_rm": [0] * n,
+                "double_check": [False] * n, "match_type": ["softmax"] * n,
+                "dsmax_temperature": [1.0] * n,
+                "train_pad_num_gt_min": [16] * n, "max_matches": [32] * n,
+            },
+            "cascade": True,
+            "cascade_levels": list(levels),
+            "training_stage": 9,
+            "train_size": 64,
+            "fine_concat_coarse_feat": len(levels) == 1,
+        },
+    })
+    return cfg.loftr
+
+
+@pytest.mark.parametrize("levels", [(4,), (4, 2)])
+def test_casmtr_forward(levels, rng):
+    cfg = tiny_casmtr_cfg(levels)
+    model = CasMTR(cfg)
+    img0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    img1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(params, batch, train=False)
+
+    L8 = (64 // 8) ** 2
+    assert out.coarse.conf_matrix.shape == (1, L8, L8)
+    assert "4c" in out.cascades
+    L4 = (64 // 4) ** 2
+    assert out.cascades["4c"].conf_matrix.shape[1] == L4
+    if len(levels) > 1:
+        assert "2c" in out.cascades
+        assert out.cascades["2c"].conf_matrix.shape[1] == (64 // 2) ** 2
+    assert out.fine is not None
+    assert np.isfinite(np.asarray(out.fine.mkpts1_f)).all()
+    assert out.final_matches.valid.shape[0] == 32
+
+
+def test_casmtr_cascade_match_structure(rng):
+    """Structural invariants: each match's j lies in i's candidate window, and
+    with double_check enabled the matches are cycle-consistent."""
+    cfg = tiny_casmtr_cfg((4,))
+    from casmtr_tpu.config import override
+    cfg = override(cfg, {"match_cascade": {"double_check": [True]}})
+    model = CasMTR(cfg)
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+    batch = {"image0": jnp.asarray(img), "image1": jnp.asarray(img)}
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(params, batch, train=False)
+    st = out.cascades["4c"]
+    m = st.matches
+    v = np.asarray(m.valid)
+    assert v.any()
+    i_ids = np.asarray(m.i_ids)[v]
+    j_ids = np.asarray(m.j_ids)[v]
+    cands = np.asarray(st.idx_c01)[0]          # [L0, Kw]
+    assert all(j in cands[i] for i, j in zip(i_ids, j_ids))
+    # cycle consistency from double_check
+    back = np.asarray(st.next_idx_c10)[0]
+    assert (back[j_ids] == i_ids).all()
+
+
+def test_casmtr_maxpool_nms_path(rng):
+    cfg = tiny_casmtr_cfg((4,), post_method="maxpool_nms")
+    model = CasMTR(cfg)
+    img0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    img1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(params, batch, train=False)
+    assert np.isfinite(np.asarray(out.final_matches.mkpts0)).all()
+
+
+def test_casmtr_pola_self_attention(rng):
+    cfg = tiny_casmtr_cfg((4,), self_attn="POLA")
+    model = CasMTR(cfg)
+    # 64 -> 1/4 grid is 16x16, not divisible by ws=3: exercises POLA padding
+    img0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    img1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(params, batch, train=False)
+    assert np.isfinite(np.asarray(out.cascades["4c"].conf_matrix)).all()
+
+
+def test_casmtr_train_mode_with_gt(rng):
+    """Training forward: gt window labels selected for the loss."""
+    cfg = tiny_casmtr_cfg((4,))
+    model = CasMTR(cfg)
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+    L4 = (64 // 4) ** 2
+    gt_idx = jnp.asarray(rng.integers(0, L4, (1, L4)), dtype=jnp.int32)
+    gt_mask = jnp.asarray(rng.random((1, L4)) > 0.5)
+    batch = {"image0": jnp.asarray(img), "image1": jnp.asarray(img),
+             "gt_idx_4c": gt_idx, "gt_mask_4c": gt_mask}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out, mutated = model.apply(
+        variables, batch, train=True, mutable=["batch_stats"])
+    st = out.cascades["4c"]
+    assert st.window_gt_label is not None
+    M, Kw = st.window_gt_label.shape
+    assert M == 16
+    # every selected (valid) match has exactly one gt label in its window
+    v = np.asarray(st.matches.valid)
+    sums = np.asarray(st.window_gt_label.sum(-1))[v]
+    assert (sums == 1).all()
