@@ -1,0 +1,119 @@
+"""CasMTR training loss (reference: src/losses/cascade_loss.py:6-253) with
+static shapes: the variable-length boolean-indexed means become mask-weighted
+means, and the "assign a wrong gt to avoid DDP deadlock" guards
+(cascade_loss.py:34-43,109-114,176-183) disappear — masked means are always
+well-defined and XLA has no variable-work deadlock (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from casmtr_tpu.config import LoftrConfig
+from casmtr_tpu.structs import MatchOutput
+
+
+def _masked_mean(x, mask):
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (x * mask).sum() / denom
+
+
+def coarse_loss(conf, conf_gt, loss_cfg, sparse_spvs: bool,
+                weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Focal/CE on the dual-softmax conf matrix
+    (reference cascade_loss.py:24-98). conf/conf_gt: [B, L0, L1]."""
+    pos = conf_gt == 1
+    neg = conf_gt == 0
+    conf = jnp.clip(conf, 1e-6, 1 - 1e-6)
+    w = jnp.ones_like(conf) if weight is None else weight
+    if loss_cfg.coarse_type == "cross_entropy":
+        lp = -jnp.log(conf)
+        ln = -jnp.log(1 - conf)
+        return (loss_cfg.pos_weight * _masked_mean(lp, pos * w)
+                + loss_cfg.neg_weight * _masked_mean(ln, neg * w))
+    if loss_cfg.coarse_type == "focal":
+        a, g = loss_cfg.focal_alpha, loss_cfg.focal_gamma
+        lp = -a * (1 - conf) ** g * jnp.log(conf)
+        if sparse_spvs:
+            # no dustbin for dual_softmax: positives only (reference :59-87)
+            return loss_cfg.pos_weight * _masked_mean(lp, pos * w)
+        ln = -a * conf ** g * jnp.log(1 - conf)
+        return (loss_cfg.pos_weight * _masked_mean(lp, pos * w)
+                + loss_cfg.neg_weight * _masked_mean(ln, neg * w))
+    raise ValueError(loss_cfg.coarse_type)
+
+
+def cascade_loss(window_conf, window_gt, valid, loss_cfg) -> jnp.ndarray:
+    """Per-level window-label loss (reference cascade_loss.py:100-135).
+
+    window_conf/window_gt: [M, Kw]; valid: [M] selection mask."""
+    conf = jnp.clip(window_conf, 1e-6, 1 - 1e-6)
+    pos = (window_gt == 1) & valid[:, None]
+    neg = (window_gt == 0) & valid[:, None]
+    a, g = loss_cfg.focal_alpha, loss_cfg.focal_gamma
+    if loss_cfg.cascade_type == "binary_cross_entropy":
+        return (loss_cfg.pos_weight * _masked_mean(-jnp.log(conf), pos)
+                + loss_cfg.neg_weight * _masked_mean(-jnp.log(1 - conf), neg))
+    if loss_cfg.cascade_type == "cross_entropy":
+        return loss_cfg.pos_weight * _masked_mean(-a * jnp.log(conf), pos)
+    if loss_cfg.cascade_type == "focal":
+        lp = -a * (1 - conf) ** g * jnp.log(conf)
+        ln = -a * conf ** g * jnp.log(1 - conf)
+        return (loss_cfg.pos_weight * _masked_mean(lp, pos)
+                + loss_cfg.neg_weight * _masked_mean(ln, neg))
+    raise ValueError(loss_cfg.cascade_type)
+
+
+def fine_loss(expec_f, expec_f_gt, valid, loss_cfg) -> jnp.ndarray:
+    """l2(_with_std) sub-pixel offset loss (reference cascade_loss.py:137-191).
+
+    expec_f: [M, 3]; expec_f_gt: [M, 2]; valid: [M]."""
+    gt = jnp.nan_to_num(expec_f_gt)
+    correct = (jnp.max(jnp.abs(gt), axis=1) < loss_cfg.fine_correct_thr) & valid
+    l2 = ((gt - expec_f[:, :2]) ** 2).sum(-1)
+    if loss_cfg.fine_type == "l2":
+        return _masked_mean(l2, correct)
+    # l2_with_std: inverse-std weights, normalized over the full set then
+    # detached (reference :170-173)
+    std = expec_f[:, 2]
+    inv = 1.0 / jnp.clip(std, 1e-10)
+    w = jax.lax.stop_gradient(inv / jnp.mean(inv))
+    return _masked_mean(l2 * w, correct)
+
+
+def casmtr_loss(out: MatchOutput, gt: Dict, expec_f_gt, cfg: LoftrConfig,
+                c_weight: Optional[jnp.ndarray] = None,
+                opt_coarse: bool = True) -> Tuple[jnp.ndarray, Dict]:
+    """Total loss (reference cascade_loss.py:203-253).
+
+    c_weight: optional [B, L0, L1] padding-mask weight for the coarse term.
+    """
+    lc = cfg.loss
+    scalars = {}
+    loss = 0.0
+    if opt_coarse:
+        l8 = coarse_loss(out.coarse.conf_matrix, gt["conf_matrix_gt_8c"], lc,
+                         cfg.match_coarse.sparse_spvs, weight=c_weight)
+        l8 = l8 * lc.coarse_weight
+        loss = loss + l8
+        scalars["loss_8c"] = l8
+
+    for level_key, st in out.cascades.items():
+        if st.window_gt_label is None:
+            continue
+        lcas = cascade_loss(st.window_conf, st.window_gt_label,
+                            st.matches.valid, lc) * lc.cascade_weight
+        loss = loss + lcas
+        scalars[f"loss_{level_key}"] = lcas
+
+    if out.fine is not None and expec_f_gt is not None:
+        last = list(out.cascades.values())[-1] if out.cascades else out.coarse
+        lf = fine_loss(out.fine.expec_f, expec_f_gt, last.matches.valid, lc)
+        lf = lf * lc.fine_weight
+        loss = loss + lf
+        scalars["loss_f"] = lf
+
+    scalars["loss"] = loss
+    return loss, scalars

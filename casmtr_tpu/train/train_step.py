@@ -1,0 +1,90 @@
+"""The jitted training step: supervision -> forward -> loss -> update.
+
+Replaces the reference's PL `training_step` + custom `optimizer_step`
+(reference lightning_cascade.py:191-206,161-189) with a single pure function.
+Data parallelism comes from sharding the batch over the mesh's 'data' axis
+under jit (GSPMD inserts the gradient psum and computes BatchNorm statistics
+over the global batch — stronger than the reference's SyncBN; train.py:140).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from casmtr_tpu.config import Config
+from casmtr_tpu.train import supervision as spv
+from casmtr_tpu.train.loss import casmtr_loss
+from casmtr_tpu.train.optim import build_optimizer, ema_beta_at, ema_update
+from casmtr_tpu.models.loftr import level_mask
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def init_train_state(model, cfg: Config, batch, rng, steps_per_epoch: int,
+                     base_lr: float) -> Tuple[TrainState, Any]:
+    variables = model.init(rng, batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(cfg.trainer, base_lr, steps_per_epoch)
+    opt_state = tx.init(params)
+    ema = params if cfg.trainer.ema else None
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
+                      opt_state, ema), tx
+
+
+def make_train_step(model, cfg: Config, tx):
+    """Returns step_fn(state, batch) -> (state, scalars). jit-able; shard the
+    batch over the mesh 'data' axis for multi-chip DP."""
+    lcfg = cfg.loftr
+
+    def loss_fn(params, batch_stats, batch, gt):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+        expec_gt = None
+        if out.fine is not None:
+            last = (list(out.cascades.values())[-1] if out.cascades
+                    else out.coarse)
+            expec_gt = spv.fine_expec_gt(gt, last.matches, batch, lcfg)
+        c_weight = None
+        if "mask0" in batch:
+            h0, w0 = out.coarse.hw0
+            h1, w1 = out.coarse.hw1
+            m0, _ = level_mask(batch["mask0"], h0, w0)
+            m1, _ = level_mask(batch["mask1"], h1, w1)
+            c_weight = m0[:, :, None] * m1[:, None, :]
+        loss, scalars = casmtr_loss(out, gt, expec_gt, lcfg, c_weight=c_weight)
+        return loss, (mutated.get("batch_stats", batch_stats), scalars)
+
+    def step_fn(state: TrainState, batch: Dict):
+        gt = spv.compute_supervision(batch, lcfg)
+        batch = dict(batch)
+        if lcfg.cascade:
+            for level in lcfg.cascade_levels:
+                batch[f"gt_idx_{level}c"] = gt[f"gt_idx_{level}c"]
+                batch[f"gt_mask_{level}c"] = gt[f"gt_mask_{level}c"]
+        (loss, (new_bs, scalars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, gt)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            beta = ema_beta_at(state.step, cfg.trainer)
+            new_ema = ema_update(new_ema, new_params, beta)
+        scalars = dict(scalars)
+        scalars["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_bs, new_opt,
+                          new_ema), scalars
+
+    return step_fn

@@ -1,0 +1,131 @@
+"""Supervision (depth-warp GT), loss, and train-step tests on synthetic scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from casmtr_tpu.ops.geometry import warp_kpts
+from casmtr_tpu.train import supervision as spv
+from casmtr_tpu.train.loss import coarse_loss, cascade_loss, fine_loss
+from casmtr_tpu.configs import build_config
+from tests.test_casmtr_model import tiny_casmtr_cfg
+
+
+def identity_batch(rng, size=64, b=1):
+    """Two identical cameras at the same pose -> warp is the identity."""
+    img = rng.random((b, size, size, 3)).astype(np.float32)
+    depth = np.ones((b, size, size), np.float32)
+    K = np.array([[[100.0, 0, size / 2], [0, 100.0, size / 2], [0, 0, 1]]],
+                 np.float32).repeat(b, 0)
+    T = np.eye(4, dtype=np.float32)[None].repeat(b, 0)
+    return {
+        "image0": jnp.asarray(img), "image1": jnp.asarray(img),
+        "depth0": jnp.asarray(depth), "depth1": jnp.asarray(depth),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+        "T_0to1": jnp.asarray(T), "T_1to0": jnp.asarray(T),
+    }
+
+
+def test_warp_kpts_identity(rng):
+    batch = identity_batch(rng)
+    pts = jnp.asarray(rng.random((1, 50, 2)).astype(np.float32) * 60)
+    valid, warped = warp_kpts(pts, batch["depth0"], batch["depth1"],
+                              batch["T_0to1"], batch["K0"], batch["K1"])
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(pts),
+                               rtol=1e-3, atol=1e-2)
+    assert np.asarray(valid).mean() > 0.9
+
+
+def test_warp_kpts_translation(rng):
+    """Pure x-translation of the camera shifts projections by -fx*tx/z."""
+    batch = identity_batch(rng)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.1  # move camera; point shifts by fx * 0.1 / z = 10 px
+    valid, warped = warp_kpts(
+        jnp.asarray([[[32.0, 32.0]]]), batch["depth0"], batch["depth1"],
+        jnp.asarray(T[None]), batch["K0"], batch["K1"])
+    np.testing.assert_allclose(np.asarray(warped)[0, 0],
+                               [42.0, 32.0], atol=0.1)
+
+
+def test_supervision_identity_diagonal(rng):
+    cfg = tiny_casmtr_cfg((4,))
+    batch = identity_batch(rng)
+    gt = spv.compute_supervision(batch, cfg)
+    conf_gt = np.asarray(gt["conf_matrix_gt_8c"])[0]
+    L = conf_gt.shape[0]
+    # diagonal (except position 0, explicitly ignored) is the gt
+    diag = np.diag(conf_gt)
+    assert diag[1:].mean() > 0.9
+    off = conf_gt - np.diag(diag)
+    assert off.sum() == 0
+    # cascade gt: identity mapping
+    gi = np.asarray(gt["gt_idx_4c"])[0]
+    gm = np.asarray(gt["gt_mask_4c"])[0]
+    L4 = gi.shape[0]
+    assert (gi[gm] == np.arange(L4)[gm]).all()
+    assert gm[1:].mean() > 0.9
+
+
+def test_coarse_loss_prefers_correct_prediction(rng):
+    cfg = tiny_casmtr_cfg((4,))
+    L = 16
+    gt = np.zeros((1, L, L), np.float32)
+    gt[0, np.arange(1, L), np.arange(1, L)] = 1
+    good = jnp.asarray(0.9 * gt + 0.001)
+    bad = jnp.asarray(0.9 * np.roll(gt, 1, axis=2) + 0.001)
+    l_good = coarse_loss(good, jnp.asarray(gt), cfg.loss, sparse_spvs=False)
+    l_bad = coarse_loss(bad, jnp.asarray(gt), cfg.loss, sparse_spvs=False)
+    assert float(l_good) < float(l_bad)
+
+
+def test_cascade_loss_masks_invalid_rows(rng):
+    cfg = tiny_casmtr_cfg((4,))
+    M, K = 8, 9
+    label = np.zeros((M, K), np.float32)
+    label[np.arange(M), rng.integers(0, K, M)] = 1
+    conf = rng.random((M, K)).astype(np.float32)
+    valid_all = jnp.ones(M, bool)
+    valid_half = jnp.asarray([True] * 4 + [False] * 4)
+    l_all = cascade_loss(jnp.asarray(conf), jnp.asarray(label), valid_all,
+                         cfg.loss)
+    # corrupting an invalid row must not change the loss
+    conf2 = conf.copy()
+    conf2[6] = 0.999
+    l_half_a = cascade_loss(jnp.asarray(conf), jnp.asarray(label), valid_half,
+                            cfg.loss)
+    l_half_b = cascade_loss(jnp.asarray(conf2), jnp.asarray(label), valid_half,
+                            cfg.loss)
+    assert float(l_half_a) == pytest.approx(float(l_half_b), rel=1e-6)
+    assert np.isfinite(float(l_all))
+
+
+def test_fine_loss_zero_at_perfect_prediction(rng):
+    cfg = tiny_casmtr_cfg((4,))
+    M = 6
+    gt_off = rng.uniform(-0.5, 0.5, (M, 2)).astype(np.float32)
+    expec = np.concatenate([gt_off, np.ones((M, 1), np.float32)], -1)
+    l = fine_loss(jnp.asarray(expec), jnp.asarray(gt_off),
+                  jnp.ones(M, bool), cfg.loss)
+    assert float(l) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_train_step_decreases_loss(rng):
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train.train_step import init_train_state, make_train_step
+    from casmtr_tpu.config import Config
+
+    lcfg = tiny_casmtr_cfg((4,))
+    cfg = Config(loftr=lcfg)
+    model = CasMTR(lcfg)
+    batch = identity_batch(rng)
+    state, tx = init_train_state(model, cfg, batch, jax.random.PRNGKey(0),
+                                 steps_per_epoch=100, base_lr=1e-3)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    losses = []
+    for _ in range(4):
+        state, scalars = step(state, batch)
+        losses.append(float(scalars["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
