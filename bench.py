@@ -1,0 +1,78 @@
+"""Benchmark: full CasMTR-4c training step (supervision + forward + backward +
+optimizer update) at 704x704, batch 1, on one chip.
+
+Baseline: the reference's inline measurement of its training step under the
+same geometry — 1.19 s/step (704x704, batch 1/GPU, fp16; reference
+cuda_imp/QuadTreeAttention/QuadtreeAttention/modules/
+quadtree_attention_smart.py:168). vs_baseline = baseline_seconds / ours.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S_PER_STEP = 1.19
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=704)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    args = p.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train.train_step import init_train_state, make_train_step
+
+    size = args.size
+    cfg = _flagship_cfg(train_size=size)
+    model = CasMTR(cfg.loftr)
+
+    rng = np.random.default_rng(0)
+    B = 1
+    batch = {
+        "image0": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
+        "image1": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
+        "depth0": jnp.ones((B, size, size), jnp.float32),
+        "depth1": jnp.ones((B, size, size), jnp.float32),
+        "K0": jnp.asarray(np.tile(np.array(
+            [[100.0, 0, size / 2], [0, 100.0, size / 2], [0, 0, 1]],
+            np.float32), (B, 1, 1))),
+        "K1": jnp.asarray(np.tile(np.array(
+            [[100.0, 0, size / 2], [0, 100.0, size / 2], [0, 0, 1]],
+            np.float32), (B, 1, 1))),
+        "T_0to1": jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))),
+        "T_1to0": jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))),
+    }
+
+    state, tx = init_train_state(model, cfg, batch, jax.random.PRNGKey(0),
+                                 steps_per_epoch=1000, base_lr=1e-3)
+    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    for _ in range(args.warmup):
+        state, scalars = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, scalars = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": "casmtr4c_train_step_704",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "vs_baseline": round(BASELINE_S_PER_STEP / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,7 @@ class Attention(nn.Module):
     num_heads: int
     sr_ratio: int = 1
     qkv_bias: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
@@ -114,7 +115,7 @@ class Attention(nn.Module):
                          strides=(self.sr_ratio, self.sr_ratio),
                          name="sr")(xi)
             xi = xi.reshape(B, -1, C)
-            xi = nn.LayerNorm(name="norm")(xi)
+            xi = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(xi)
         else:
             xi = x
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, kernel_init=_TRUNC,
@@ -149,18 +150,20 @@ class GroupBlock(nn.Module):
     mlp_ratio: float = 4.0
     sr_ratio: int = 1
     ws: int = 1
+    qkv_bias: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         if self.ws == 1:
             attn = Attention(self.dim, self.num_heads, self.sr_ratio,
-                             name="attn")
+                             qkv_bias=self.qkv_bias, name="attn")
         else:
             attn = GroupAttention(self.dim, self.num_heads, self.ws,
-                                  name="attn")
-        x = x + attn(nn.LayerNorm(name="norm1")(x), h, w)
+                                  qkv_bias=self.qkv_bias, name="attn")
+        x = x + attn(nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), h, w)
         x = x + VITMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(name="norm2")(x))
+            nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x))
         return x
 
 

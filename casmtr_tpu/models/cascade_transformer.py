@@ -111,13 +111,13 @@ class CascadeQuadtreeBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
-        norm1 = nn.LayerNorm(name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         y, up_idx = CascadeQuadtreeAttention(
             self.dim, self.num_heads, self.dilated, name="attn")(
                 norm1(x), norm1(target), hw_x, hw_t, idx, rel_pos)
         x = x + y
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), hw_x[0], hw_x[1])
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
         return x, up_idx
 
 

@@ -152,7 +152,7 @@ class POLATransBlock(nn.Module):
         B, L, C = x.shape
         ws = self.window_size
         shortcut = x
-        xn = nn.LayerNorm(name="norm1")(x).reshape(B, h, w, C)
+        xn = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, h, w, C)
         xn, pad_b, pad_r = pad_to_multiple(xn, ws)
         Hp, Wp = xn.shape[1:3]
 
@@ -164,7 +164,7 @@ class POLATransBlock(nn.Module):
         y = window_reverse(attn, ws, Hp, Wp)[:, :h, :w].reshape(B, L, C)
         x = shortcut + y
         x = x + POLAMlp(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
 
 
@@ -187,7 +187,7 @@ class MixAxialPOLABlock(nn.Module):
         ws = self.window_size
 
         shortcut = x
-        xn = nn.LayerNorm(name="norm1")(x).reshape(B, h, w, C)
+        xn = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, h, w, C)
         x_local = xn[..., :local_chl]
         x_horiz = xn[..., local_chl:local_chl + axis_chl]
         x_verti = xn[..., local_chl + axis_chl:]
@@ -215,5 +215,5 @@ class MixAxialPOLABlock(nn.Module):
         y = nn.Dense(C, name="proj")(y)
         x = shortcut + y
         x = x + POLAMlp(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x

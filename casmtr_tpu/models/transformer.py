@@ -64,12 +64,12 @@ class LoFTREncoderLayer(nn.Module):
         msg = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
         msg = msg.reshape(B, -1, self.d_model).astype(x.dtype)
         msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
-        msg = nn.LayerNorm(name="norm1")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, name="norm1")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
         y = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0")(y)
         y = nn.relu(y)
         y = nn.Dense(self.d_model, use_bias=False, name="mlp_2")(y)
-        y = nn.LayerNorm(name="norm2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
         return x + y
 
 
@@ -154,13 +154,13 @@ class QuadtreeBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, topk_pos=None):
-        norm1 = nn.LayerNorm(name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         attn = QuadtreeAttention(self.dim, self.num_heads, self.topks,
                                  scale=self.scale, attn_type=self.attn_type,
                                  name="attn")
         x = x + attn(norm1(x), norm1(target), hw_x, hw_t, topk_pos=topk_pos)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), hw_x[0], hw_x[1])
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
         return x
 
 
