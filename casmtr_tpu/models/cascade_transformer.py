@@ -125,43 +125,57 @@ class CascadeFeatureTransformer(nn.Module):
     """Cascade-level transformer (reference transformer.py:353-560)."""
     config: CascadeStageConfig
     train_size: int
+    remat: bool = True
 
     def setup(self):
         cfg = self.config
         self.window, self.full_window = get_propagations(
             cfg.propagation, cfg.window_size, cfg.dilated)
         aws = cfg.attn_window_size or cfg.window_size
+        # remat each block (static_argnums count `self` as 0; the spatial-dim
+        # arguments are python ints/tuples)
+        if self.remat:
+            dgb = nn.remat(DoubleGroupBlock, static_argnums=(2, 3))
+            lb = nn.remat(LocalBlock, static_argnums=(2, 3))
+            pola = nn.remat(POLATransBlock, static_argnums=(2, 3))
+            enc = nn.remat(LoFTREncoderLayer)
+            qtb = nn.remat(QuadtreeBlock, static_argnums=(3, 4))
+            cqb = nn.remat(CascadeQuadtreeBlock, static_argnums=(3, 4))
+        else:
+            dgb, lb, pola, enc, qtb, cqb = (
+                DoubleGroupBlock, LocalBlock, POLATransBlock,
+                LoFTREncoderLayer, QuadtreeBlock, CascadeQuadtreeBlock)
         layers = []
         for li, name in enumerate(cfg.layer_names):
             if name == "self":
                 t = cfg.self_attn_type
                 if t == "local_global":
-                    layers.append(DoubleGroupBlock(
+                    layers.append(dgb(
                         cfg.d_model, cfg.nhead, 4.0, cfg.sr_ratio, aws,
                         name=f"layers_{li}"))
                 elif t == "local":
-                    layers.append(LocalBlock(cfg.d_model, cfg.nhead, 4.0, aws,
-                                             name=f"layers_{li}"))
+                    layers.append(lb(cfg.d_model, cfg.nhead, 4.0, aws,
+                                     name=f"layers_{li}"))
                 elif t == "LKA":
                     layers.append(LKABlock(cfg.d_model, 4.0,
                                            name=f"layers_{li}"))
                 elif t == "topk":
-                    layers.append(QuadtreeBlock(
+                    layers.append(qtb(
                         cfg.d_model, cfg.nhead, tuple(cfg.topks),
                         scale=len(cfg.topks), attn_type="Guided",
                         name=f"layers_{li}"))
                 elif t == "POLA":
-                    layers.append(POLATransBlock(
+                    layers.append(pola(
                         cfg.d_model, cfg.nhead, window_size=aws,
                         name=f"layers_{li}"))
                 elif t == "linear":
-                    layers.append(LoFTREncoderLayer(
+                    layers.append(enc(
                         cfg.d_model, cfg.nhead, "linear",
                         name=f"layers_{li}"))
                 else:
                     raise NotImplementedError(t)
             elif name == "cross":
-                layers.append(CascadeQuadtreeBlock(
+                layers.append(cqb(
                     cfg.d_model, cfg.nhead, dilated=cfg.dilated,
                     name=f"layers_{li}"))
             else:

@@ -174,19 +174,27 @@ class LocalFeatureTransformer(nn.Module):
     """
     config: CoarseConfig
     train_size: int
+    remat: bool = True
 
     @nn.compact
     def __call__(self, feat0, feat1, hw0: Tuple[int, int], hw1: Tuple[int, int],
                  mask0=None, mask1=None):
         cfg = self.config
+        # rematerialize each layer in the backward pass: the quadtree gather
+        # tensors ([B, P, 4K, H, D] per level) would otherwise be stored as
+        # autodiff residuals and dominate HBM (measured: OOM at 704^2 train)
+        enc_cls = (nn.remat(LoFTREncoderLayer) if self.remat
+                   else LoFTREncoderLayer)
+        qt_cls = (nn.remat(QuadtreeBlock, static_argnums=(3, 4))
+                  if self.remat else QuadtreeBlock)
         layers = []
         for li, name in enumerate(cfg.layer_names):
             if cfg.block_type == "loftr":
-                layers.append(LoFTREncoderLayer(
+                layers.append(enc_cls(
                     cfg.d_model, cfg.nhead, cfg.attention,
                     name=f"layers_{li}"))
             elif cfg.block_type == "quadtree":
-                layers.append(QuadtreeBlock(
+                layers.append(qt_cls(
                     cfg.d_model, cfg.nhead, tuple(cfg.topks),
                     scale=3, attn_type=cfg.attn_type, name=f"layers_{li}"))
             else:

@@ -46,7 +46,9 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
     f0 = feat0.astype(jnp.float32) / (c ** 0.5)
     f1 = feat1.astype(jnp.float32) / (c ** 0.5)
 
-    sim01 = window_score(f0, f1, idx_c01) / temperature   # [B, L0, Kw]
+    # checkpoint: the gathered [B, L0, Kw, C] tensor inside window_score is a
+    # 1.5 GB autodiff residual at 704^2 otherwise (recompute it in backward)
+    sim01 = jax.checkpoint(window_score)(f0, f1, idx_c01) / temperature
     if mask0 is not None:
         wmask0 = jnp.take_along_axis(
             jnp.broadcast_to(mask1[:, None], (mask1.shape[0],
