@@ -1,0 +1,141 @@
+"""Benchmark evaluation (reference: test.py:43-77 + PLCascadeMatcher
+test_step/test_epoch_end, lightning_cascade.py:350-404): run the matcher over
+a test split, estimate poses on host, aggregate AUC@5/10/20 + epipolar
+precision.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casmtr_tpu.config import Config, dump
+from casmtr_tpu.configs import build_config
+from casmtr_tpu.data.module import MultiSceneDataModule
+from casmtr_tpu.models import build_model
+from casmtr_tpu.utils import metrics as M
+from casmtr_tpu.utils.profiler import build_profiler
+
+
+def evaluate_batch_outputs(out_np: Dict, batch: Dict, cfg: Config,
+                           metrics: Dict):
+    """Host-side per-batch metric computation (reference
+    lightning_cascade.py:208-223). out_np holds numpy final-match arrays."""
+    B = batch["K0"].shape[0]
+    b_ids = out_np["b_ids"]
+    valid = out_np["valid"]
+    for b in range(B):
+        sel = valid & (b_ids == b)
+        mk0 = out_np["mkpts0"][sel]
+        mk1 = out_np["mkpts1"][sel]
+        T = batch["T_0to1"][b]
+        K0, K1 = batch["K0"][b], batch["K1"][b]
+        epi = M.compute_epipolar_errors(mk0, mk1, T, K0, K1)
+        R_err, t_err, inl = M.compute_pose_errors(
+            mk0, mk1, T, K0, K1, pixel_thr=cfg.trainer.ransac_pixel_thr,
+            conf=cfg.trainer.ransac_conf)
+        metrics["identifiers"].append("#".join(batch["pair_names"][b])
+                                      if "pair_names" in batch else str(b))
+        metrics["epi_errs"].append(epi)
+        metrics["R_errs"].append(R_err)
+        metrics["t_errs"].append(t_err)
+        metrics["inliers"].append(inl)
+
+
+def run_eval(cfg: Config, params, dataset=None, max_pairs: Optional[int] = None,
+             profiler_name: Optional[str] = None,
+             dump_dir: Optional[str] = None) -> Dict:
+    model = build_model(cfg.loftr)
+    profiler = build_profiler(profiler_name)
+
+    @jax.jit
+    def forward(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        fm = out.final_matches
+        return {"b_ids": fm.b_ids, "mkpts0": fm.mkpts0, "mkpts1": fm.mkpts1,
+                "mconf": fm.mconf, "valid": fm.valid}
+
+    if dataset is None:
+        dm = MultiSceneDataModule(cfg)
+        dataset = dm.test_dataset()
+    from casmtr_tpu.data.loader import DataLoader
+    loader = DataLoader(dataset, None, batch_size=1, num_workers=4,
+                        drop_last=False)
+
+    metrics = {"identifiers": [], "epi_errs": [], "R_errs": [], "t_errs": [],
+               "inliers": []}
+    n = 0
+    dumps = []
+    for batch in loader:
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if isinstance(v, np.ndarray) and k in
+                     ("image0", "image1", "mask0", "mask1", "scale0",
+                      "scale1")}
+        with profiler.profile("Model Matching"):
+            out = forward(params, dev_batch)
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+        with profiler.profile("RANSAC"):
+            evaluate_batch_outputs(out_np, batch, cfg, metrics)
+        if dump_dir is not None:
+            dumps.append({k: out_np[k] for k in out_np})
+        n += batch["K0"].shape[0]
+        if max_pairs is not None and n >= max_pairs:
+            break
+
+    results = M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)
+    if dump_dir is not None:
+        os.makedirs(dump_dir, exist_ok=True)
+        np.save(os.path.join(dump_dir, "pred_eval.npy"),
+                np.asarray(dumps, dtype=object), allow_pickle=True)
+    summary = profiler.summary()
+    if summary:
+        print(summary)
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CasMTR-TPU benchmark evaluation")
+    p.add_argument("--model", default="outdoor_casmtr_4c")
+    p.add_argument("--data", default="megadepth_test_1500")
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint dir or torch .ckpt to convert")
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--profiler", default=None)
+    p.add_argument("--dump-dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = build_config(args.model, args.data)
+    model = build_model(cfg.loftr)
+    size = cfg.dataset.mgdpt_img_resize
+    init_batch = {
+        "image0": jnp.zeros((1, size, size, 3), jnp.float32),
+        "image1": jnp.zeros((1, size, size, 3), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    if args.ckpt:
+        if args.ckpt.endswith((".ckpt", ".pth")):
+            from casmtr_tpu.utils.convert import (convert_state_dict,
+                                                  load_torch_checkpoint)
+            sd = load_torch_checkpoint(args.ckpt)
+            variables, report = convert_state_dict(sd, dict(variables))
+            print(f"converted: {len(report['missing'])} missing, "
+                  f"{len(report['unused'])} unused")
+        else:
+            from casmtr_tpu.train.checkpoints import CheckpointManager
+            mgr = CheckpointManager(args.ckpt)
+            restored = mgr.restore(target={"params": variables["params"]})
+            variables = {**variables, "params": restored["params"]}
+
+    results = run_eval(cfg, variables, max_pairs=args.max_pairs,
+                       profiler_name=args.profiler, dump_dir=args.dump_dir)
+    print(json.dumps({k: float(v) for k, v in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Training entry point (reference: train.py:72-155 + PLCascadeMatcher loops,
+lightning_cascade.py:225-348): config merge, LR scaling, data module with
+per-host scene sharding, jitted data-parallel train step, periodic validation
+with AUC aggregation, orbax top-k checkpointing, EMA, multi-stage resume."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casmtr_tpu.config import Config, dump, override
+from casmtr_tpu.configs import build_config
+from casmtr_tpu.data.module import MultiSceneDataModule
+from casmtr_tpu.models import build_model
+from casmtr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from casmtr_tpu.train.checkpoints import CheckpointManager, load_into_state
+from casmtr_tpu.train.optim import scaled_lr
+from casmtr_tpu.train.train_step import init_train_state, make_train_step
+from casmtr_tpu.utils import metrics as M
+
+
+def device_batch(batch, mesh=None):
+    keys = ("image0", "image1", "depth0", "depth1", "T_0to1", "T_1to0",
+            "K0", "K1", "scale0", "scale1", "mask0", "mask1")
+    db = {k: jnp.asarray(v) for k, v in batch.items()
+          if k in keys and isinstance(v, np.ndarray)}
+    if mesh is not None:
+        db = shard_batch(db, mesh)
+    return db
+
+
+def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200):
+    from casmtr_tpu.cli.evaluate import evaluate_batch_outputs
+
+    @jax.jit
+    def forward(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        fm = out.final_matches
+        return {"b_ids": fm.b_ids, "mkpts0": fm.mkpts0, "mkpts1": fm.mkpts1,
+                "mconf": fm.mconf, "valid": fm.valid}
+
+    metrics = {"identifiers": [], "epi_errs": [], "R_errs": [], "t_errs": [],
+               "inliers": []}
+    n = 0
+    for batch in val_loader:
+        out = forward(variables, device_batch(batch))
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        evaluate_batch_outputs(out_np, batch, cfg, metrics)
+        n += batch["K0"].shape[0]
+        if n >= max_pairs:
+            break
+    if not metrics["identifiers"]:
+        return {}
+    return M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CasMTR-TPU training")
+    p.add_argument("--model", default="outdoor_casmtr_4c")
+    p.add_argument("--data", default="megadepth_trainval_704")
+    p.add_argument("--run-dir", default="runs/default")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="per-device batch size")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--stage", type=int, default=None,
+                   help="training stage override (1=coarse only, 2=+cascade)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (non-strict for new "
+                        "stages; reference --resume_from_checkpoint)")
+    p.add_argument("--reset-lr", action="store_true")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--val-every-epochs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=66)
+    args = p.parse_args(argv)
+
+    overrides = {"trainer": {"seed": args.seed}}
+    if args.stage is not None:
+        overrides["loftr"] = {"training_stage": args.stage}
+    cfg = build_config(args.model, args.data, overrides)
+
+    os.makedirs(args.run_dir, exist_ok=True)
+    dump(cfg, os.path.join(args.run_dir, "config.json"))
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    global_bs = args.batch_size * n_dev
+    base_lr = scaled_lr(cfg.trainer, global_bs,
+                        cfg.dataset.trainval_data_source)
+    print(f"devices={n_dev} global_bs={global_bs} lr={base_lr:.2e}")
+
+    dm = MultiSceneDataModule(cfg, world_size=jax.process_count(),
+                              rank=jax.process_index())
+    train_loader = dm.train_loader(global_bs, num_workers=args.num_workers)
+    val_loader = dm.eval_loader(dm.val_dataset(), batch_size=1,
+                                num_workers=args.num_workers)
+    steps_per_epoch = max(1, len(train_loader))
+
+    model = build_model(cfg.loftr)
+    init_b = next(iter(train_loader))
+    state, tx = init_train_state(model, cfg, device_batch(init_b),
+                                 jax.random.PRNGKey(cfg.trainer.seed),
+                                 steps_per_epoch, base_lr)
+    ckpt_mgr = CheckpointManager(os.path.join(args.run_dir, "ckpts"),
+                                 metric_name="auc@10")
+    if args.resume:
+        restored = CheckpointManager(args.resume).restore()
+        if restored is not None:
+            state = load_into_state(restored, state)
+            print(f"resumed from {args.resume}")
+
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+    step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        for i, batch in enumerate(train_loader):
+            state, scalars = step_fn(state, device_batch(batch, mesh))
+            if i % args.log_every == 0:
+                s = {k: float(v) for k, v in scalars.items()}
+                rate = (i + 1) / (time.time() - t0 + 1e-9)
+                print(f"epoch {epoch} step {i}/{steps_per_epoch} "
+                      f"loss={s['loss']:.4f} {rate:.2f} it/s "
+                      + " ".join(f"{k}={v:.3f}" for k, v in s.items()
+                                 if k != "loss"))
+                if not np.isfinite(s["loss"]):
+                    # NaN dump (reference lightning_cascade.py:259-265)
+                    ckpt_mgr.save(int(state.step), jax.device_get(
+                        {"params": state.params}), {"auc@10": -1.0})
+                    raise RuntimeError(f"NaN loss at step {int(state.step)}")
+        t0 = time.time()
+
+        if (epoch + 1) % args.val_every_epochs == 0:
+            variables = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            if cfg.trainer.test_ema and state.ema_params is not None:
+                variables["params"] = jax.device_get(state.ema_params)
+            results = run_validation(cfg, model, variables, val_loader)
+            print(f"epoch {epoch} val: "
+                  + json.dumps({k: round(float(v), 4)
+                                for k, v in results.items()}))
+            ckpt_mgr.save(int(jax.device_get(state.step)), jax.device_get({
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step,
+            }), {k: float(v) for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -66,9 +66,13 @@ def _imread(path: str, gray: bool) -> np.ndarray:
 
 def read_megadepth_image(path: str, resize: Optional[int] = None,
                          df: Optional[int] = None, padding: bool = False,
-                         gray: bool = False):
+                         gray: bool = False, pad_size: Optional[int] = None):
     """Returns (image [h, w, 3] float32 in [0,1], mask [h, w] bool|None,
-    scale [2] float32 = [w/w_new, h/h_new]) — reference dataset.py:111-178."""
+    scale [2] float32 = [w/w_new, h/h_new]) — reference dataset.py:111-178.
+
+    pad_size: pad to a FIXED square canvas instead of max(h_new, w_new)
+    (TPU-specific: keeps eval shapes static so XLA compiles once; padded
+    regions are masked)."""
     img = _imread(path, gray)
     h, w = img.shape[:2]
     w_new, h_new = get_divisible_wh(*get_resized_wh(w, h, resize), df)
@@ -76,7 +80,8 @@ def read_megadepth_image(path: str, resize: Optional[int] = None,
     scale = np.array([w / w_new, h / h_new], np.float32)
     mask = None
     if padding:
-        img, mask = pad_bottom_right(img, max(h_new, w_new), ret_mask=True)
+        img, mask = pad_bottom_right(
+            img, pad_size or max(h_new, w_new), ret_mask=True)
     img = img.astype(np.float32) / 255.0
     if gray:
         img = np.repeat(img[..., None], 3, axis=-1)

@@ -16,7 +16,7 @@ class MegaDepthDataset:
                  min_overlap_score: float = 0.4,
                  img_resize: Optional[int] = None, df: Optional[int] = None,
                  img_padding: bool = False, depth_padding: bool = False,
-                 is_rgb: bool = True, **kwargs):
+                 is_rgb: bool = True, fixed_pad: bool = True, **kwargs):
         self.root_dir = root_dir
         self.mode = mode
         self.scene_id = osp.basename(npz_path).split(".")[0]
@@ -30,6 +30,8 @@ class MegaDepthDataset:
         self.img_resize = img_resize
         self.df = df
         self.img_padding = img_padding
+        # static shapes for XLA: pad every image to the same square canvas
+        self.pad_size = img_resize if (fixed_pad and img_padding) else None
         self.depth_max_size = 2000 if depth_padding else None
         self.is_rgb = is_rgb
 
@@ -42,10 +44,10 @@ class MegaDepthDataset:
         name1 = osp.join(self.root_dir, self.scene_info["image_paths"][idx1])
         img0, mask0, scale0 = read_megadepth_image(
             name0, self.img_resize, self.df, self.img_padding,
-            gray=not self.is_rgb)
+            gray=not self.is_rgb, pad_size=self.pad_size)
         img1, mask1, scale1 = read_megadepth_image(
             name1, self.img_resize, self.df, self.img_padding,
-            gray=not self.is_rgb)
+            gray=not self.is_rgb, pad_size=self.pad_size)
 
         if self.mode in ("train", "val"):
             depth0 = read_megadepth_depth(
