@@ -1,0 +1,59 @@
+"""Parity tests for the Pallas window-correlation kernel (interpret mode on
+CPU) against its jnp oracle and the unstructured window_score."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from casmtr_tpu.ops.gather_ops import window_score_oracle
+from casmtr_tpu.ops.pallas.window_kernels import (
+    _candidate_offsets, _expand_corner_indices, window_patch_score_jnp,
+    window_patch_score_pallas)
+
+
+def make_problem(rng, B=1, H1=16, W1=16, D=8, w=3):
+    P = (H1 // 2) * (W1 // 2)
+    q = jnp.asarray(rng.standard_normal((B, P, 4, D)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((B, H1, W1, D)).astype(np.float32))
+    corners = jnp.asarray(
+        rng.integers(0, H1 // 2 - w + 1, (B, P, 2)).astype(np.int32))
+    return q, f1, corners, P
+
+
+def test_candidate_offsets_order():
+    off = _candidate_offsets(2)
+    # c = (wy*w+wx)*4 + dr*2+dc for w=2: first candidates are the 2x2
+    # children of window cell (0, 0)
+    np.testing.assert_array_equal(off[:4], [[0, 0], [0, 1], [1, 0], [1, 1]])
+    np.testing.assert_array_equal(off[4:8], [[0, 2], [0, 3], [1, 2], [1, 3]])
+
+
+def test_oracle_matches_unstructured_window_score(rng):
+    """window_patch_score == window_score with explicitly expanded indices."""
+    q, f1, corners, P = make_problem(rng)
+    w, D = 3, 8
+    got = np.asarray(window_patch_score_jnp(q, f1, corners, w))
+    idx = _expand_corner_indices(corners, w, 16)      # [B, P, 4w^2]
+    f1_flat = f1.reshape(1, -1, D)
+    # build per-query layout: queries are the blocked [P*4] children
+    want = np.asarray(window_score_oracle(
+        q.reshape(1, P * 4, D), f1_flat,
+        jnp.repeat(idx, 4, axis=1))).reshape(1, P, 4, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_kernel_interpret_matches_oracle(rng):
+    q, f1, corners, P = make_problem(rng, H1=20, W1=20, D=8, w=3)
+    want = np.asarray(window_patch_score_jnp(q, f1, corners, 3))
+    got = np.asarray(window_patch_score_pallas(q, f1, corners, 3, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_kernel_gradients(rng):
+    from jax.test_util import check_grads
+
+    q, f1, corners, P = make_problem(rng, H1=12, W1=12, D=8, w=2)
+    check_grads(
+        lambda q_, f_: window_patch_score_pallas(q_, f_, corners, 2, True),
+        (q, f1), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
