@@ -262,6 +262,14 @@ class CascadeFeatureTransformer(nn.Module):
             idx_c01, self.window, H0 // 2, W0 // 2, self.full_window)
         idx_c10_w, idx_c10_full = window_warp_idx(
             idx_c10, self.window, H1 // 2, W1 // 2, self.full_window)
+        # structured candidate corners (top-left of the shifted window on the
+        # half grid) for the Pallas patch kernels; only the plain window
+        # propagation is patch-contiguous
+        if cfg.propagation == "window" and cfg.dilated == 1:
+            corners01 = idx_c01_w[:, :, 0, :]
+            corners10 = idx_c10_w[:, :, 0, :]
+        else:
+            corners01 = corners10 = None
 
         if cfg.relative_pe:
             rel_pe_c01 = self._relative_pe(hw0_8c, hw1_8c, next_idx_8c01,
@@ -309,7 +317,8 @@ class CascadeFeatureTransformer(nn.Module):
             x = nn.silu(x)
             heatmap0 = self.detector_layers[2](x)[..., 0]   # [B, H0, W0]
 
-        return feat0, feat1, idx_c01_out, idx_c10_out, heatmap0
+        return (feat0, feat1, idx_c01_out, idx_c10_out, heatmap0,
+                corners01, corners10)
 
     def _cycle_topk(self, conf_matrix, hw0_8c, hw1_8c):
         """Cycle-consistent top-k from the 1/8 conf matrix

@@ -157,7 +157,8 @@ class CasMTR(nn.Module):
             t4_1 = x4_1.reshape(B, -1, x4_1.shape[-1])
             cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4,
                                              name="loftr_coarse_4c")
-            t4_0, t4_1, idx_4c01, idx_4c10, heat4 = cft4(
+            (t4_0, t4_1, idx_4c01, idx_4c10, heat4,
+             corners_4c01, corners_4c10) = cft4(
                 t4_0, t4_1, ds.next_idx_c01, ds.next_idx_c10,
                 hw0_4c, hw1_4c, hw0_8c=hw0_8c, hw1_8c=hw1_8c,
                 next_idx_8c01=ds.next_idx_c01, next_idx_8c10=ds.next_idx_c10,
@@ -166,7 +167,10 @@ class CasMTR(nn.Module):
             c4 = _cas_cfg(cfg.match_cascade, 0)
             ws4 = cm.window_softmax_matching(
                 t4_0, t4_1, idx_4c01, idx_4c10, c4["temperature"],
-                mask_4c0, mask_4c1)
+                mask_4c0, mask_4c1, corners0=corners_4c01,
+                corners1=corners_4c10, hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
+                prop_window=(cfg.coarse2.window_size
+                             if corners_4c01 is not None else 0))
             s_d2d = d2d_w = None
             if cfg.coarse2.post_config.method == "d2d":
                 c_ = t4_0.shape[-1]
@@ -230,7 +234,8 @@ class CasMTR(nn.Module):
             t2_1 = x2_1.reshape(B, -1, x2_1.shape[-1])
             cft2 = CascadeFeatureTransformer(cfg.coarse3, ts // 2,
                                              name="loftr_coarse_2c")
-            t2_0, t2_1, idx_2c01, idx_2c10, heat2 = cft2(
+            (t2_0, t2_1, idx_2c01, idx_2c10, heat2,
+             corners_2c01, corners_2c10) = cft2(
                 t2_0, t2_1, ws4.next_idx_c01, ws4.next_idx_c10,
                 hw0_f, hw1_f, hw0_8c=hw0_8c, hw1_8c=hw1_8c,
                 next_idx_8c01=ds.next_idx_c01, next_idx_8c10=ds.next_idx_c10,
@@ -239,7 +244,10 @@ class CasMTR(nn.Module):
             c2 = _cas_cfg(cfg.match_cascade, 1)
             ws2 = cm.window_softmax_matching(
                 t2_0, t2_1, idx_2c01, idx_2c10, c2["temperature"],
-                mask_2c0, mask_2c1)
+                mask_2c0, mask_2c1, corners0=corners_2c01,
+                corners1=corners_2c10, hw0=tuple(hw0_f), hw1=tuple(hw1_f),
+                prop_window=(cfg.coarse3.window_size
+                             if corners_2c01 is not None else 0))
             if train:
                 mask2 = cm.cascade_match_mask_train(ws2, c2["thr"],
                                                     idx_2c01.shape[-1])

@@ -135,7 +135,8 @@ class CasMTRRefine(nn.Module):
             t4_1 = x4_1.reshape(B, -1, x4_1.shape[-1])
             cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4,
                                              name="loftr_coarse_4c")
-            t4_0, t4_1, idx_4c01, idx_4c10, heat4 = cft4(
+            (t4_0, t4_1, idx_4c01, idx_4c10, heat4,
+             corners_4c01, corners_4c10) = cft4(
                 t4_0, t4_1, ds.next_idx_c01, ds.next_idx_c10,
                 hw0_4c, hw1_4c, hw0_8c=hw0_8c, hw1_8c=hw1_8c,
                 next_idx_8c01=ds.next_idx_c01, next_idx_8c10=ds.next_idx_c10,
@@ -144,7 +145,10 @@ class CasMTRRefine(nn.Module):
             c4 = _cas_cfg(cfg.match_cascade, 0)
             ws4 = cm.window_softmax_matching(
                 t4_0, t4_1, idx_4c01, idx_4c10, c4["temperature"],
-                mask_4c0, mask_4c1)
+                mask_4c0, mask_4c1, corners0=corners_4c01,
+                corners1=corners_4c10, hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
+                prop_window=(cfg.coarse2.window_size
+                             if corners_4c01 is not None else 0))
             if train:
                 mask4 = cm.cascade_match_mask_train(ws4, c4["thr"],
                                                     idx_4c01.shape[-1])

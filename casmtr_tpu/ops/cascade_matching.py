@@ -34,21 +34,54 @@ class WindowSoftmaxResult(NamedTuple):
     next_local_c01: jnp.ndarray  # [B, L0] int32 window-local argmax
 
 
+def _structured_score(f0, f1, corners, hw0, hw1, prop_w: int):
+    """Window scores via the Pallas patch kernel (TPU) or its jnp oracle:
+    queries 2x2-blocked per parent, candidates = the (2w x 2w) image1 patch
+    at the parent's corner. Equals window_score(f0, f1, idx) for the standard
+    'window' propagation with dilation 1."""
+    from casmtr_tpu.ops.quadtree import block_children, unblock_children
+
+    B, L0, C = f0.shape
+    h0, w0 = hw0
+    h1, w1 = hw1
+    q_blk = block_children(f0, h0, w0)                     # [B, P, 4, C]
+    f1_2d = f1.reshape(B, h1, w1, C)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from casmtr_tpu.ops.pallas.window_kernels import \
+            window_patch_score_pallas
+        s = window_patch_score_pallas(q_blk, f1_2d, corners, prop_w)
+    else:
+        from casmtr_tpu.ops.pallas.window_kernels import \
+            window_patch_score_jnp
+        s = window_patch_score_jnp(q_blk, f1_2d, corners, prop_w)
+    return unblock_children(s, h0 // 2, w0 // 2)           # [B, L0, 4w^2]
+
+
 def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
-                            mask0=None, mask1=None) -> WindowSoftmaxResult:
+                            mask0=None, mask1=None, corners0=None,
+                            corners1=None, hw0=None, hw1=None,
+                            prop_window: int = 0) -> WindowSoftmaxResult:
     """Window-restricted softmax both directions
     (reference cascade_matching.py:87-149; the 1->0 direction is detached).
 
     feat0: [B, L0, C]; feat1: [B, L1, C]; idx_c01: [B, L0, Kw] int32.
-    mask0/1: [B, L] flat padding masks.
+    mask0/1: [B, L] flat padding masks. When the candidate sets are
+    structured patches (corners given), the Pallas patch kernel replaces the
+    scalar-bound XLA gather.
     """
     c = feat0.shape[-1]
     f0 = feat0.astype(jnp.float32) / (c ** 0.5)
     f1 = feat1.astype(jnp.float32) / (c ** 0.5)
 
-    # checkpoint: the gathered [B, L0, Kw, C] tensor inside window_score is a
-    # 1.5 GB autodiff residual at 704^2 otherwise (recompute it in backward)
-    sim01 = jax.checkpoint(window_score)(f0, f1, idx_c01) / temperature
+    structured = corners0 is not None and prop_window > 0
+    if structured:
+        sim01 = _structured_score(f0, f1, corners0, hw0, hw1,
+                                  prop_window) / temperature
+    else:
+        # checkpoint: the gathered [B, L0, Kw, C] tensor inside window_score
+        # is a 1.5 GB autodiff residual at 704^2 (recompute it in backward)
+        sim01 = jax.checkpoint(window_score)(f0, f1, idx_c01) / temperature
     if mask0 is not None:
         wmask0 = jnp.take_along_axis(
             jnp.broadcast_to(mask1[:, None], (mask1.shape[0],
@@ -58,8 +91,13 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
         sim01 = jnp.where(wmask0, sim01, -INF)
     conf01 = jax.nn.softmax(sim01, axis=2)
 
-    sim10 = jax.lax.stop_gradient(
-        window_score(f1, f0, idx_c10)) / temperature
+    if structured:
+        sim10 = jax.lax.stop_gradient(
+            _structured_score(f1, f0, corners1, hw1, hw0,
+                              prop_window)) / temperature
+    else:
+        sim10 = jax.lax.stop_gradient(
+            window_score(f1, f0, idx_c10)) / temperature
     if mask0 is not None:
         wmask1 = jnp.take_along_axis(
             jnp.broadcast_to(mask0[:, None], (mask0.shape[0],

@@ -101,6 +101,33 @@ def _coarse_level(q, k, v, topk: int, rel_pos=None):
     return A, message, topk_score, topk_idx.astype(jnp.int32)
 
 
+def block_gather(table: jnp.ndarray, parent_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather 2x2 key/value blocks by per-head parent indices.
+
+    TPU note: XLA row gathers are scalar-unit bound, so we gather at BLOCK
+    granularity — 4x fewer gathers of 4x wider (contiguous) rows than the
+    naive per-child gather, with identical results.
+
+    table: [B, Lb, H, 4*D] block-major keys (children of each 2x2 block
+      flattened into the last dim, child-major);
+    parent_idx: [B, P, K, H] int32 indices into Lb.
+    Returns [B, P, K, H, 4, D]."""
+    B, Lb, H, FD = table.shape
+    D = FD // 4
+    arr = table[:, None, None]                           # [B, 1, 1, Lb, H, 4D]
+    idx = parent_idx[..., None, None]                    # [B, P, K, H, 1, 1]
+    idx = jnp.swapaxes(idx, 3, 4)                        # [B, P, K, 1, H, 1]
+    out = jnp.take_along_axis(arr, idx, axis=3)          # [B, P, K, 1, H, 4D]
+    return out[:, :, :, 0].reshape(*out.shape[:3], H, 4, D)
+
+
+def to_block_major(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, L, H, D] tokens -> [B, L/4, H, 4*D] block-major table."""
+    B, L, H, D = x.shape
+    xb = block_children(x, h, w)                         # [B, L/4, 4, H, D]
+    return jnp.swapaxes(xb, 2, 3).reshape(B, L // 4, H, 4 * D)
+
+
 def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
                   hw_k: Tuple[int, int], w_prev: int, rel_pos=None):
     """One fine level of QTAttB (reference: quadtree_attention.py:180-229).
@@ -112,13 +139,17 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
     """
     h0, w0 = hw_q
     h1, w1 = hw_k
-    D = q.shape[-1]
+    B, _, H, D = q.shape
     K_prev = topk_idx_prev.shape[2]
 
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
     idx = expand_child_indices(topk_idx_prev, w_prev, w1)  # [B, P, 4K, H]
 
-    qk = gather_scores(qb, k, idx) * (D ** -0.5)          # [B, P, 4, 4K, H]
+    # block-granular gather: candidate (k, j) is child j of selected block k
+    k_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev)
+    qk = jnp.einsum("bpfhd,bpkhjd->bpfkjh", qb, k_g,
+                    preferred_element_type=jnp.float32)
+    qk = qk.reshape(B, -1, 4, 4 * K_prev, H) * (D ** -0.5)  # [B, P, 4, 4K, H]
     if rel_pos is not None:
         # rel_pos: [B_or_1, H, Lq, Lk] full bias, gathered at the candidates
         # (reference :211-215).
@@ -129,7 +160,10 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
         qk = qk + rp
 
     A = jax.nn.softmax(qk, axis=3)                        # over 4K candidates
-    message = gather_aggregate(A, v, idx)                 # [B, P, 4, H, D]
+    v_g = block_gather(to_block_major(v, h1, w1), topk_idx_prev)
+    A5 = A.reshape(B, -1, 4, K_prev, 4, H)
+    message = jnp.einsum("bpfkjh,bpkhjd->bpfhd", A5, v_g,
+                         preferred_element_type=jnp.float32)
 
     topk_score, topk_local = topk_lastaxis_at(A, topk, axis=3)  # [B,P,4,k,H]
     idx_rep = jnp.broadcast_to(idx[:, :, None], A.shape)  # [B, P, 4, 4K, H]
@@ -341,22 +375,31 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
     Kw = topk_pos.shape[2]
 
     flat_prev = topk_pos[..., 0] * (w1 // 2) + topk_pos[..., 1]  # [B, P, Kw]
-    flat_prev = jnp.broadcast_to(flat_prev[..., None], (B, Lq // 4, Kw, H))
-    idx = expand_child_indices(flat_prev, w1 // 2, w1, dilated=dilated,
-                               clamp_max=h1 * w1 - 1)  # [B, P, 4Kw, H]
+    idx_sh = expand_child_indices(flat_prev[..., None], w1 // 2, w1,
+                                  dilated=dilated,
+                                  clamp_max=h1 * w1 - 1)[..., 0]  # [B, P, 4Kw]
 
     qb = block_children(q, h0, w0)                      # [B, P, 4, H, D]
-    qk = gather_scores(qb, k, idx) * (D ** -0.5)        # [B, P, 4, 4Kw, H]
+    # head-shared candidates: gather full [H*D] feature rows ONCE (TPU
+    # gathers are per-row scalar-bound; the reference gathers per head)
+    k_flat = k.reshape(B, -1, H * D)
+    k_g = jnp.take_along_axis(k_flat[:, None], idx_sh[..., None], axis=2)
+    k_g = k_g.reshape(B, Lq // 4, 4 * Kw, H, D)
+    qk = jnp.einsum("bpfhd,bpchd->bpfch", qb, k_g,
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
     if rel_pos is not None:
         rp = jnp.moveaxis(rel_pos, 1, -1)               # [B, Lq, 4Kw, H]
         rp = block_children(rp, h0, w0)                 # [B, P, 4, 4Kw, H]
         qk = qk + rp
     A = jax.nn.softmax(qk, axis=3)
-    message = gather_aggregate(A, v, idx)               # [B, P, 4, H, D]
+    v_flat = v.reshape(B, -1, H * D)
+    v_g = jnp.take_along_axis(v_flat[:, None], idx_sh[..., None], axis=2)
+    v_g = v_g.reshape(B, Lq // 4, 4 * Kw, H, D)
+    message = jnp.einsum("bpfch,bpchd->bpfhd", A, v_g,
+                         preferred_element_type=jnp.float32)
     message = unblock_children(message, h0 // 2, w0 // 2)  # [B, Lq, H, D]
 
-    # per-query candidate set at full res (head 0; identical across heads)
-    up_idx = jnp.broadcast_to(idx[:, :, None, :, 0],
-                              (B, Lq // 4, 4, 4 * Kw))
+    # per-query candidate set at full res (identical across heads)
+    up_idx = jnp.broadcast_to(idx_sh[:, :, None], (B, Lq // 4, 4, 4 * Kw))
     up_idx = unblock_children(up_idx, h0 // 2, w0 // 2)  # [B, Lq, 4Kw]
     return message, up_idx

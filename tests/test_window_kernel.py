@@ -57,3 +57,41 @@ def test_pallas_kernel_gradients(rng):
     check_grads(
         lambda q_, f_: window_patch_score_pallas(q_, f_, corners, 2, True),
         (q, f1), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+
+def test_structured_matches_unstructured_in_matcher(rng):
+    """window_softmax_matching with corners == plain idx path."""
+    import jax.numpy as jnp
+    from casmtr_tpu.models.cascade_transformer import window_warp_idx
+    from casmtr_tpu.ops import cascade_matching as cm
+    from casmtr_tpu.ops.quadtree import expand_child_indices
+
+    B, C, w = 1, 16, 3
+    H0 = W0 = H1 = W1 = 12     # current level grid; half grid 6x6
+    L0 = H0 * W0
+    f0 = jnp.asarray(rng.standard_normal((B, L0, C)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((B, L0, C)).astype(np.float32))
+    prev_idx = jnp.asarray(rng.integers(0, 36, (B, 36)), dtype=jnp.int32)
+    offsets, _ = __import__("casmtr_tpu.ops.propagation",
+                            fromlist=["get_propagations"]).get_propagations(
+        "window", w)
+    win_pos, _ = window_warp_idx(prev_idx, offsets, 6, 6)
+    corners = win_pos[:, :, 0, :]
+    # unstructured candidate list: expand each window position's children
+    flat = win_pos[..., 0] * 6 + win_pos[..., 1]          # [B, P, w*w]
+    idx = expand_child_indices(flat[..., None], 6, W1,
+                               clamp_max=L0 - 1)[..., 0]  # [B,P,ww -> 4]
+    # rebuild in candidate order [B, P, ww*4] then unblock to queries
+    idx = idx.reshape(B, 36, w * w, 4).reshape(B, 36, -1)
+    from casmtr_tpu.ops.quadtree import unblock_children
+    idx_full = unblock_children(
+        jnp.broadcast_to(idx[:, :, None], (B, 36, 4, 4 * w * w)), 6, 6)
+
+    a = cm.window_softmax_matching(f0, f1, idx_full, idx_full, 1.0)
+    b = cm.window_softmax_matching(f0, f1, idx_full, idx_full, 1.0,
+                                   corners0=corners, corners1=corners,
+                                   hw0=(H0, W0), hw1=(H1, W1), prop_window=w)
+    np.testing.assert_allclose(np.asarray(a.conf01), np.asarray(b.conf01),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.next_idx_c01),
+                                  np.asarray(b.next_idx_c01))
