@@ -92,9 +92,13 @@ class CascadeQuadtreeAttention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, name="q_proj")(x)
         k = nn.Dense(self.dim, use_bias=False, name="k_proj")(target)
         v = nn.Dense(self.dim, use_bias=False, name="v_proj")(target)
-        q = q.astype(jnp.float32).reshape(B, L, self.num_heads, D)
-        k = k.astype(jnp.float32).reshape(B, -1, self.num_heads, D)
-        v = v.astype(jnp.float32).reshape(B, -1, self.num_heads, D)
+        # bf16 gather tables on TPU (f32-accumulated contractions; the
+        # reference runs under fp16 autocast)
+        cdt = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+               else jnp.float32)
+        q = q.astype(cdt).reshape(B, L, self.num_heads, D)
+        k = k.astype(cdt).reshape(B, -1, self.num_heads, D)
+        v = v.astype(cdt).reshape(B, -1, self.num_heads, D)
         msg, up_idx = cascade_qtatt_b(q, k, v, idx, hw_x, hw_t,
                                       dilated=self.dilated, rel_pos=rel_pos)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)

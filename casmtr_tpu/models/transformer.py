@@ -101,13 +101,20 @@ class QuadtreeAttention(nn.Module):
         k = nn.Dense(self.dim, use_bias=False, name="k_proj")(ti)
         v = nn.Dense(self.dim, use_bias=False, name="v_proj")(ti)
 
+        # bf16 pyramid on TPU: the gather tables/einsum inputs halve in size
+        # and feed the MXU natively; all contractions accumulate in f32
+        # (preferred_element_type) and softmaxes run on f32 scores. The
+        # reference runs this module under fp16 autocast (fp32 only because
+        # its CUDA kernel K2 is fp32-only; quadtree_attention.py:82-84).
+        cdt = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+               else jnp.float32)
         qs, ks, vs, sizes = [], [], [], []
         qq, kk, vv = q, k, v
         hh, ww = h, w
         for i in range(self.scale):
-            qs.append(qq.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
-            ks.append(kk.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
-            vs.append(vv.astype(jnp.float32).reshape(B, hh * ww, self.num_heads, D))
+            qs.append(qq.astype(cdt).reshape(B, hh * ww, self.num_heads, D))
+            ks.append(kk.astype(cdt).reshape(B, hh * ww, self.num_heads, D))
+            vs.append(vv.astype(cdt).reshape(B, hh * ww, self.num_heads, D))
             sizes.append((hh, ww))
             if i != self.scale - 1:
                 qq = avg_pool_2x2(qq)

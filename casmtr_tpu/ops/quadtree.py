@@ -113,24 +113,26 @@ def _coarse_level(q, k, v, topk: int, rel_pos=None):
             jnp.swapaxes(ti, 2, 3).astype(jnp.int32))
 
 
-def block_gather(table: jnp.ndarray, parent_idx: jnp.ndarray) -> jnp.ndarray:
+def block_gather(table: jnp.ndarray, parent_idx: jnp.ndarray,
+                 n_children: int = 4) -> jnp.ndarray:
     """Gather 2x2 key/value blocks by per-head parent indices.
 
     TPU note: XLA row gathers are scalar-unit bound, so we gather at BLOCK
     granularity — 4x fewer gathers of 4x wider (contiguous) rows than the
-    naive per-child gather, with identical results.
+    naive per-child gather, with identical results. With a fused K||V table
+    (n_children=8) one gather serves both operands.
 
-    table: [B, Lb, H, 4*D] block-major keys (children of each 2x2 block
-      flattened into the last dim, child-major);
+    table: [B, Lb, H, n_children*D] block-major keys (children of each 2x2
+      block flattened into the last dim, child-major);
     parent_idx: [B, P, K, H] int32 indices into Lb.
-    Returns [B, P, K, H, 4, D]."""
+    Returns [B, P, K, H, n_children, D]."""
     B, Lb, H, FD = table.shape
-    D = FD // 4
-    arr = table[:, None, None]                           # [B, 1, 1, Lb, H, 4D]
+    D = FD // n_children
+    arr = table[:, None, None]                           # [B, 1, 1, Lb, H, FD]
     idx = parent_idx[..., None, None]                    # [B, P, K, H, 1, 1]
     idx = jnp.swapaxes(idx, 3, 4)                        # [B, P, K, 1, H, 1]
-    out = jnp.take_along_axis(arr, idx, axis=3)          # [B, P, K, 1, H, 4D]
-    return out[:, :, :, 0].reshape(*out.shape[:3], H, 4, D)
+    out = jnp.take_along_axis(arr, idx, axis=3)          # [B, P, K, 1, H, FD]
+    return out[:, :, :, 0].reshape(*out.shape[:3], H, n_children, D)
 
 
 def to_block_major(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -157,8 +159,14 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
 
     # block-granular gather: candidate (k, j) is child j of selected block k.
-    # Internal layout keeps candidates on the LAST (lane) axis.
-    k_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev)
+    # K and V are gathered as ONE fused table (half the gather descriptors —
+    # TPU gathers are descriptor-bound) and the internal layout keeps
+    # candidates on the LAST (lane) axis.
+    kv = jnp.concatenate([to_block_major(k, h1, w1),
+                          to_block_major(v, h1, w1)], axis=-1)
+    kv_g = block_gather(kv, topk_idx_prev, n_children=8)  # [B,P,K,H,8,D]
+    k_g = kv_g[..., :4, :]
+    v_g = kv_g[..., 4:, :]
     qk = jnp.einsum("bpfhd,bpkhjd->bpfhkj", qb, k_g,
                     preferred_element_type=jnp.float32)
     P = qk.shape[1]
@@ -174,7 +182,6 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
         qk = qk + jnp.moveaxis(rp, 3, 4)                  # -> [B, P, 4, H, 4K]
 
     A = jax.nn.softmax(qk, axis=-1)                       # over 4K candidates
-    v_g = block_gather(to_block_major(v, h1, w1), topk_idx_prev)
     A6 = A.reshape(B, P, 4, H, K_prev, 4)
     message = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
                          preferred_element_type=jnp.float32)
