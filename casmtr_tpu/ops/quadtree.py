@@ -49,12 +49,20 @@ def unblock_children(x: jnp.ndarray, h2: int, w2: int) -> jnp.ndarray:
 
 
 def exact_topk(x: jnp.ndarray, k: int):
-    """Exact top-k over the last axis via the TPU PartialReduce path
-    (lax.approx_max_k with recall_target=1.0 — exact, ~3x faster than the
-    full sort that lax.top_k lowers to) with a CPU fallback."""
+    """Exact top-k over the last axis.
+
+    TPU notes (measured on v5e): (1) the input must be flattened to 2D —
+    XLA picks pathological layouts for >2D sort/partial-reduce operands
+    (20-100x slower); (2) lax.approx_max_k with recall_target=1.0 (the
+    PartialReduce path, exact) beats the full sort that lax.top_k lowers to.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
     if jax.devices()[0].platform == "tpu":
-        return jax.lax.approx_max_k(x, k, recall_target=1.0)
-    return jax.lax.top_k(x, k)
+        v, i = jax.lax.approx_max_k(x2, k, recall_target=1.0)
+    else:
+        v, i = jax.lax.top_k(x2, k)
+    return v.reshape(*lead, k), i.reshape(*lead, k)
 
 
 def topk_lastaxis_at(x: jnp.ndarray, k: int, axis: int):
