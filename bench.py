@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -54,16 +55,26 @@ def main():
 
     state, tx = init_train_state(model, cfg, batch, jax.random.PRNGKey(0),
                                  steps_per_epoch=1000, base_lr=1e-3)
-    step = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+    step = make_train_step(model, cfg, tx)
 
-    for _ in range(args.warmup):
-        state, scalars = step(state, batch)
-    jax.block_until_ready(state.params)
+    # chain the steps INSIDE one jit and fetch one scalar at the end: the
+    # per-call host round trip would otherwise dominate, and async dispatch
+    # makes block_until_ready unreliable for timing on relayed backends
+    def many_steps(state, batch, n):
+        def body(s, _):
+            s2, scalars = step(s, batch)
+            return s2, scalars["loss"]
+        return jax.lax.scan(body, state, None, length=n)
+
+    run = jax.jit(functools.partial(many_steps, n=args.iters),
+                  donate_argnums=(0,))
+    warm = jax.jit(functools.partial(many_steps, n=1), donate_argnums=(0,))
+    state, losses = warm(state, batch)
+    _ = float(losses[-1])
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, scalars = step(state, batch)
-    jax.block_until_ready(state.params)
+    state, losses = run(state, batch)
+    _ = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.iters
 
     print(json.dumps({
