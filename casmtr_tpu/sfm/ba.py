@@ -1,0 +1,192 @@
+"""Bundle adjustment: Levenberg-Marquardt with Schur-complement landmark
+marginalization, designed for multi-host data parallelism.
+
+North-star design (SURVEY.md §2.9 / BASELINE.md): observations are
+partitioned across hosts (by keyframe/landmark); every host computes its
+partition's contribution to the REDUCED camera system (S, b) after locally
+marginalizing its landmarks (the 3x3 point blocks invert in closed form);
+`psum` of (S, b) over the mesh then yields the global camera update — the
+cross-host traffic is O((6C)^2), independent of landmark count. Single-host
+operation is the degenerate case (no psum).
+
+All shapes are static: observations are fixed-size arrays with a validity
+mask; invalid observations contribute zeros.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from casmtr_tpu.sfm.geometry import project, rodrigues
+
+
+class BAProblem(NamedTuple):
+    """A batch of observations linking cameras and points.
+
+    cam_rvec: [C, 3]; cam_tvec: [C, 3]; points: [P, 3]; K: [3, 3] (shared
+    calibrated intrinsics); obs_cam/obs_pt: [N] int32; obs_uv: [N, 2];
+    obs_valid: [N] bool.
+    """
+    cam_rvec: jnp.ndarray
+    cam_tvec: jnp.ndarray
+    points: jnp.ndarray
+    K: jnp.ndarray
+    obs_cam: jnp.ndarray
+    obs_pt: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_valid: jnp.ndarray
+
+
+def reprojection_residuals(p: BAProblem) -> jnp.ndarray:
+    """[N, 2] masked residuals."""
+    def one(ci, pi, uv):
+        return project(p.cam_rvec[ci], p.cam_tvec[ci], p.points[pi], p.K) - uv
+
+    r = jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv)
+    return jnp.where(p.obs_valid[:, None], r, 0.0)
+
+
+def _residual_fn(cam6, X, uv, K):
+    return project(cam6[:3], cam6[3:], X, K) - uv
+
+
+def _jacobians(p: BAProblem):
+    """Per-observation Jacobians J_c [N, 2, 6], J_p [N, 2, 3] and residuals."""
+    cams6 = jnp.concatenate([p.cam_rvec, p.cam_tvec], axis=-1)
+
+    def one(ci, pi, uv):
+        c = cams6[ci]
+        X = p.points[pi]
+        r = _residual_fn(c, X, uv, p.K)
+        Jc = jax.jacfwd(_residual_fn, argnums=0)(c, X, uv, p.K)
+        Jp = jax.jacfwd(_residual_fn, argnums=1)(c, X, uv, p.K)
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv)
+    m = p.obs_valid[:, None]
+    return (jnp.where(m, r, 0.0), jnp.where(m[..., None], Jc, 0.0),
+            jnp.where(m[..., None], Jp, 0.0))
+
+
+def _schur_system(p: BAProblem, lam: jnp.ndarray,
+                  axis_name: Optional[str] = None):
+    """Build the reduced camera system (S [6C, 6C], b [6C]) and the point
+    back-substitution operators. With ``axis_name``, (S, b) are psum'd across
+    the mesh (each shard holding a disjoint set of observations/landmarks)."""
+    C = p.cam_rvec.shape[0]
+    P = p.points.shape[0]
+    r, Jc, Jp = _jacobians(p)
+
+    # camera-diagonal blocks: H_cc[c] = sum_obs Jc^T Jc
+    Hcc = jax.ops.segment_sum(
+        jnp.einsum("nij,nik->njk", Jc, Jc), p.obs_cam, num_segments=C)
+    g_c = jax.ops.segment_sum(
+        -jnp.einsum("nij,ni->nj", Jc, r), p.obs_cam, num_segments=C)
+
+    # point blocks: H_pp[p] (3x3), g_p
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("nij,nik->njk", Jp, Jp), p.obs_pt, num_segments=P)
+    g_p = jax.ops.segment_sum(
+        -jnp.einsum("nij,ni->nj", Jp, r), p.obs_pt, num_segments=P)
+
+    # cross blocks aggregated per (point, camera): B [P, C, 6, 3]
+    W = jnp.einsum("nij,nik->njk", Jc, Jp)               # [N, 6, 3]
+    pc = p.obs_pt * C + p.obs_cam
+    B = jax.ops.segment_sum(W, pc, num_segments=P * C).reshape(P, C, 6, 3)
+
+    Vinv = jnp.linalg.inv(Hpp + (lam + 1e-12) * jnp.eye(3)[None])
+
+    # Schur: S = Hcc_diag - sum_p B_p Vinv_p B_p^T ; b = g_c - B Vinv g_p
+    S = jnp.zeros((C, 6, C, 6))
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
+    BV = jnp.einsum("pcij,pjk->pcik", B, Vinv)
+    S = S - jnp.einsum("pcik,pdlk->cidl", BV, B)
+    b = g_c - jnp.einsum("pcik,pk->ci", BV, g_p)
+
+    S = S.reshape(6 * C, 6 * C)
+    b = b.reshape(6 * C)
+    if axis_name is not None:
+        S = jax.lax.psum(S, axis_name)
+        b = jax.lax.psum(b, axis_name)
+    # camera damping after the cross-host reduction
+    S = S + lam * jnp.eye(6 * C)
+    return S, b, (B, Vinv, g_p)
+
+
+def lm_step(p: BAProblem, lam: jnp.ndarray,
+            axis_name: Optional[str] = None,
+            fix_first_cam: bool = True) -> Tuple[BAProblem, jnp.ndarray]:
+    """One damped Gauss-Newton (LM) step. Returns (updated problem, new cost).
+
+    fix_first_cam pins the gauge: camera 0's update is zeroed.
+    """
+    C = p.cam_rvec.shape[0]
+    S, b, (B, Vinv, g_p) = _schur_system(p, lam, axis_name)
+
+    if fix_first_cam:
+        # pin the first camera by zeroing its rows/cols + identity block
+        mask = jnp.ones(6 * C).at[:6].set(0.0)
+        S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        b = b * mask
+
+    dc = jnp.linalg.solve(S, b).reshape(C, 6)
+
+    # back-substitute landmarks: dp = Vinv (g_p - sum_c B^T dc)
+    rhs = g_p - jnp.einsum("pcij,ci->pj", B, dc)
+    dp = jnp.einsum("pjk,pk->pj", Vinv, rhs)
+    if axis_name is not None:
+        # each shard owns its landmarks; dp for foreign landmarks is zero
+        # because their B/g_p contributions are zero on this shard
+        pass
+
+    new = p._replace(
+        cam_rvec=p.cam_rvec + dc[:, :3],
+        cam_tvec=p.cam_tvec + dc[:, 3:],
+        points=p.points + dp)
+    cost = (reprojection_residuals(new) ** 2).sum()
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return new, cost
+
+
+def run_ba(p: BAProblem, iters: int = 20, lam0: float = 1e-3,
+           axis_name: Optional[str] = None) -> Tuple[BAProblem, jnp.ndarray]:
+    """LM loop with multiplicative damping adaptation (accept/reject)."""
+
+    def cost_of(q):
+        c = (reprojection_residuals(q) ** 2).sum()
+        return jax.lax.psum(c, axis_name) if axis_name else c
+
+    def body(carry, _):
+        q, lam, cost = carry
+        q2, cost2 = lm_step(q, lam, axis_name)
+        accept = cost2 < cost
+        # select only the optimized leaves (keeps carry dtypes exact)
+        q = q._replace(
+            cam_rvec=jnp.where(accept, q2.cam_rvec, q.cam_rvec),
+            cam_tvec=jnp.where(accept, q2.cam_tvec, q.cam_tvec),
+            points=jnp.where(accept, q2.points, q.points))
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, cost2, cost).astype(jnp.float32)
+        return (q, lam, cost), cost
+
+    init = (p, jnp.asarray(lam0, jnp.float32),
+            cost_of(p).astype(jnp.float32))
+    if axis_name is not None:
+        # under shard_map the carry becomes device-varying after the first
+        # psum'd step; mark replicated initial-carry leaves accordingly
+        def mark(x):
+            try:
+                if axis_name in jax.typeof(x).vma:
+                    return x
+            except Exception:
+                pass
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+
+        init = jax.tree_util.tree_map(mark, init)
+    (q, _, cost), _ = jax.lax.scan(body, init, None, length=iters)
+    return q, cost

@@ -1,0 +1,77 @@
+"""Core SfM geometry in jnp: rotations, projection, triangulation.
+
+North-star extension (SURVEY.md §2.9 / BASELINE.md): no reference code
+exists for this — it is new TPU-native capability layered on the matcher.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle [.., 3] -> rotation matrix [.., 3, 3] (differentiable,
+    stable at theta -> 0 via the sinc expansions)."""
+    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    k = rvec / theta
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack([
+        jnp.stack([zero, -kz, ky], -1),
+        jnp.stack([kz, zero, -kx], -1),
+        jnp.stack([-ky, kx, zero], -1),
+    ], -2)
+    t = theta[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
+    return eye + jnp.sin(t) * K + (1 - jnp.cos(t)) * (K @ K)
+
+
+def project(rvec: jnp.ndarray, tvec: jnp.ndarray, X: jnp.ndarray,
+            K: jnp.ndarray) -> jnp.ndarray:
+    """Project world points into a camera. rvec/tvec: [3]; X: [.., 3];
+    K: [3, 3]. Returns pixel coords [.., 2]."""
+    R = rodrigues(rvec)
+    Xc = X @ R.T + tvec
+    uv = Xc @ K.T
+    return uv[..., :2] / jnp.maximum(uv[..., 2:3], 1e-9)
+
+
+def triangulate(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
+                uv1: jnp.ndarray) -> jnp.ndarray:
+    """Linear (DLT) two-view triangulation.
+
+    P0/P1: [3, 4] projection matrices; uv0/uv1: [N, 2] pixels.
+    Returns [N, 3] world points."""
+    def one(u0, u1):
+        A = jnp.stack([
+            u0[0] * P0[2] - P0[0],
+            u0[1] * P0[2] - P0[1],
+            u1[0] * P1[2] - P1[0],
+            u1[1] * P1[2] - P1[1],
+        ])
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / X[3]
+
+    return jax.vmap(one)(uv0, uv1)
+
+
+def compose_pose(rvec_a, t_a, rvec_b, t_b):
+    """Pose composition: world->a then a->b, returning world->b as matrices.
+    Returns (R, t) with R = R_b R_a, t = R_b t_a + t_b."""
+    Ra, Rb = rodrigues(rvec_a), rodrigues(rvec_b)
+    return Rb @ Ra, Rb @ t_a + t_b
+
+
+def rotation_to_rvec(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle [3] (principal branch)."""
+    cos = jnp.clip((jnp.trace(R) - 1) / 2, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    axis = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1]])
+    s = jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+    return axis / s * theta
