@@ -58,30 +58,26 @@ def _window_patch_score_fwd_impl(q_blk, feat1, corners, w: int,
         q_blk = jnp.pad(q_blk, ((0, 0), (0, P_pad - P), (0, 0), (0, 0)))
         corners = jnp.pad(corners, ((0, 0), (0, P_pad - P), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, P_pad // TP),
-        in_specs=[
-            pl.BlockSpec((1, TP, 4, D), lambda b, p, c: (b, p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # feat1 stays whole in HBM
-        ],
-        out_specs=pl.BlockSpec((1, TP, 4, size * size),
-                               lambda b, p, c: (b, p, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((TP, size, size, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((TP,)),
-        ],
-    )
+    # corners ride per-tile in SMEM (a full-array scalar-prefetch operand
+    # would overflow the ~1MB SMEM at production sizes)
+    grid = (B, P_pad // TP)
+    in_specs = [
+        pl.BlockSpec((1, TP, 2), lambda b, p: (b, p, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TP, 4, D), lambda b, p: (b, p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # feat1 stays whole in HBM
+    ]
+    out_specs = pl.BlockSpec((1, TP, 4, size * size),
+                             lambda b, p: (b, p, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     def kernel(corners_ref, q_ref, f1_ref, out_ref, patch_ref, sem_ref):
         b = pl.program_id(0)
-        pt = pl.program_id(1)
 
         def dma(i):
-            ty = corners_ref[b, pt * TP + i, 0] * 2
-            tx = corners_ref[b, pt * TP + i, 1] * 2
+            ty = corners_ref[0, i, 0] * 2
+            tx = corners_ref[0, i, 1] * 2
             return pltpu.make_async_copy(
                 f1_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
                 patch_ref.at[i], sem_ref.at[i])
@@ -100,7 +96,13 @@ def _window_patch_score_fwd_impl(q_blk, feat1, corners, w: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, P_pad, 4, size * size),
                                        jnp.float32),
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((TP, size, size, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((TP,)),
+        ],
         interpret=interpret,
     )(corners.astype(jnp.int32), q_blk.astype(jnp.float32),
       feat1.astype(jnp.float32))
