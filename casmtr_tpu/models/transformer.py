@@ -88,7 +88,7 @@ class QuadtreeAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, target, hw_x: Tuple[int, int],
-                 hw_t: Tuple[int, int], topk_pos=None):
+                 hw_t: Tuple[int, int], topk_pos=None, rel_pos=None):
         B, L, C = x.shape
         h, w = hw_x
         h1, w1 = hw_t
@@ -144,7 +144,7 @@ class QuadtreeAttention(nn.Module):
                                topk_pos)
         else:
             msg = qtatt_b(qs, ks, vs, sizes, list(self.topks), weight,
-                          lepe=lepe_msgs)
+                          lepe=lepe_msgs, rel_pos=rel_pos)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)
         return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg)
 
@@ -160,15 +160,34 @@ class QuadtreeBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, target, hw_x, hw_t, topk_pos=None):
+    def __call__(self, x, target, hw_x, hw_t, topk_pos=None, rel_pos=None):
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         attn = QuadtreeAttention(self.dim, self.num_heads, self.topks,
                                  scale=self.scale, attn_type=self.attn_type,
                                  name="attn")
-        x = x + attn(norm1(x), norm1(target), hw_x, hw_t, topk_pos=topk_pos)
+        x = x + attn(norm1(x), norm1(target), hw_x, hw_t, topk_pos=topk_pos,
+                     rel_pos=rel_pos)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
         return x
+
+
+def relative_position_bucket(rel, num_buckets=32, max_distance=128):
+    """T5-style log-bucketed relative positions
+    (reference transformer.py:15-36, bidirectional)."""
+    import math as _math
+
+    nb = num_buckets // 2
+    ret = (rel > 0).astype(jnp.int32) * nb
+    n = jnp.abs(rel)
+    max_exact = max(nb // 2, 1)
+    max_distance = max(max_distance, max_exact + 1)
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / _math.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, nb - 1)
+    return ret + jnp.where(n < max_exact, n, val_if_large)
 
 
 class LocalFeatureTransformer(nn.Module):
@@ -182,6 +201,28 @@ class LocalFeatureTransformer(nn.Module):
     config: CoarseConfig
     train_size: int
     remat: bool = True
+
+    def _rel_pos_2d(self, h: int, w: int, scale_i: int, nhead: int):
+        """Per-pyramid-level 2D relative PE [1, nhead, hw, hw]
+        (reference transformer.py:231-257 _cal_2d_pos_emb): bucketed x/y
+        offsets through per-level linear bias tables."""
+        s = 2 ** scale_i
+        hh, ww = h // s, w // s
+        nb = self.train_size // s
+        ys, xs = jnp.meshgrid(jnp.arange(hh), jnp.arange(ww), indexing="ij")
+        px = xs.reshape(-1)
+        py = ys.reshape(-1)
+        rel_x = relative_position_bucket(px[None, :] - px[:, None],
+                                         num_buckets=nb, max_distance=ww)
+        rel_y = relative_position_bucket(py[None, :] - py[:, None],
+                                         num_buckets=nb, max_distance=hh)
+        w_bias = nn.Dense(nhead, use_bias=False,
+                          name=f"w_pos_bias_{scale_i}")
+        h_bias = nn.Dense(nhead, use_bias=False,
+                          name=f"h_pos_bias_{scale_i}")
+        bx = w_bias(jax.nn.one_hot(rel_x, nb))           # [hw, hw, nhead]
+        by = h_bias(jax.nn.one_hot(rel_y, nb))
+        return jnp.moveaxis(bx + by, -1, 0)[None]        # [1, nhead, hw, hw]
 
     @nn.compact
     def __call__(self, feat0, feat1, hw0: Tuple[int, int], hw1: Tuple[int, int],
@@ -207,6 +248,13 @@ class LocalFeatureTransformer(nn.Module):
             else:
                 raise ValueError(cfg.block_type)
 
+        # optional per-level relative PE for the quadtree blocks (coarsest
+        # first, matching the pyramid traversal; reference :271-276)
+        rel_pos = None
+        if getattr(cfg, "relative_pe", False) and cfg.block_type == "quadtree":
+            rel_pos = [self._rel_pos_2d(hw0[0], hw0[1], i, cfg.nhead)
+                       for i in (2, 1, 0)]
+
         for layer, name in zip(layers, cfg.layer_names):
             if cfg.block_type == "loftr":
                 if name == "self":
@@ -217,9 +265,11 @@ class LocalFeatureTransformer(nn.Module):
                     feat1 = layer(feat1, feat0, mask1, mask0)
             else:
                 if name == "self":
-                    feat0 = layer(feat0, feat0, hw0, hw0)
-                    feat1 = layer(feat1, feat1, hw1, hw1)
+                    feat0 = layer(feat0, feat0, hw0, hw0, None, rel_pos)
+                    feat1 = layer(feat1, feat1, hw1, hw1, None, rel_pos)
                 else:  # symmetric simultaneous cross (reference :300)
-                    feat0, feat1 = (layer(feat0, feat1, hw0, hw1),
-                                    layer(feat1, feat0, hw1, hw0))
+                    feat0, feat1 = (layer(feat0, feat1, hw0, hw1, None,
+                                          rel_pos),
+                                    layer(feat1, feat0, hw1, hw0, None,
+                                          rel_pos))
         return feat0, feat1

@@ -112,7 +112,10 @@ def _coarse_level(q, k, v, topk: int, rel_pos=None):
     qk = jnp.einsum("blhd,bshd->blhs", q, k,
                     preferred_element_type=jnp.float32) * (D ** -0.5)
     if rel_pos is not None:
-        qk = qk + jnp.moveaxis(rel_pos, 2, 3)  # rel_pos given as [B, L, S, H]
+        # rel_pos convention: [B_or_1, H, L, S] (the reference's own coarse
+        # rel-pos path is shape-inconsistent and unexercised; we define the
+        # head-first convention used by _rel_pos_2d)
+        qk = qk + jnp.moveaxis(rel_pos, 1, 2)
     A = jax.nn.softmax(qk, axis=-1)  # over keys
     ts, ti = exact_topk(A, topk)                      # [B, L, H, K]
     message = jnp.einsum("blhs,bshd->blhd", A, v,
