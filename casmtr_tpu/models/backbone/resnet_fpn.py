@@ -175,3 +175,38 @@ class Ladder_4_2(nn.Module):
         x1_out = conv3x3(rd[0], 1, "layer1_outconv2_3")(x1_out)
         x1_out = batch_norm(train, "layer1_outconv2_4")(x1_out)
         return [x2_out, x1_out]
+
+
+class ResNetFPN_16_4(nn.Module):
+    """Outputs [1/16, 1/4] features (reference resnet_fpn.py:280-361)."""
+    initial_dim: int = 128
+    block_dims: Tuple[int, ...] = (128, 196, 256, 512)
+    is_rgb: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not self.is_rgb and x.shape[-1] == 3:
+            x = _to_gray(x)
+        d = self.block_dims
+        x0 = nn.relu(batch_norm(train, "bn1")(nn.Conv(
+            self.initial_dim, (7, 7), strides=(2, 2), padding=3,
+            use_bias=False, kernel_init=_KAIMING, name="conv1")(x)))
+        x1 = BasicBlock(d[0], 1, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, name="layer1_1")(x1, train)     # 1/2
+        x2 = BasicBlock(d[1], 2, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, name="layer2_1")(x2, train)     # 1/4
+        x3 = BasicBlock(d[2], 2, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, name="layer3_1")(x3, train)     # 1/8
+        x4 = BasicBlock(d[3], 2, name="layer4_0")(x3, train)
+        x4 = BasicBlock(d[3], 1, name="layer4_1")(x4, train)     # 1/16
+
+        x4_out = conv1x1(d[3], 1, "layer4_outconv")(x4)
+        x4_2x = resize_bilinear_align_corners(x4_out, x3.shape[1], x3.shape[2])
+        x3_out = conv1x1(d[3], 1, "layer3_outconv")(x3)
+        x3_out = _OutConv2(d[3], d[2], name="layer3_outconv2")(
+            x3_out + x4_2x, train)
+        x3_2x = resize_bilinear_align_corners(x3_out, x2.shape[1], x2.shape[2])
+        x2_out = conv1x1(d[2], 1, "layer2_outconv")(x2)
+        x2_out = _OutConv2(d[2], d[1], name="layer2_outconv2")(
+            x2_out + x3_2x, train)
+        return [x4_out, x2_out]

@@ -169,3 +169,55 @@ class TwinsFPN_8_4_2(nn.Module):
             conv3x3(bd[0], 1, "layer1_outconv2_3")(y))
 
         return [x3_out, x2_out, x1_out]
+
+
+class TwinsFPN_16_8_4_2(nn.Module):
+    """Conv stem (1/2) + 3-stage Twins ViT (1/4, 1/8, 1/16) + FPN fusion
+    (reference twins_fpn.py:170-263). Outputs [1/16, 1/8, 1/4, 1/2]."""
+    initial_dim: int = 64
+    block_dims: Tuple[int, ...] = (64, 128, 196, 256)
+    model_type: str = "large"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bd = self.block_dims
+        x = (x - _IMAGENET_MEAN.astype(x.dtype)) / _IMAGENET_STD.astype(x.dtype)
+
+        s = nn.Conv(bd[0] // 2, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, kernel_init=_KAIMING, name="conv1_0")(x)
+        s = nn.relu(batch_norm(train, "conv1_1")(s))
+        s = FPNBasicBlock(bd[0], bd[0] // 2, 1, name="layer1_0")(s, train)
+        x1 = FPNBasicBlock(bd[0], bd[0], 1, name="layer1_1")(s, train)
+
+        x2, x3, x4 = TwinsSVT(self.model_type, 3, name="vit")(x, train=train)
+
+        x4_out = batch_norm(train, "layer4_outconv_1")(
+            conv1x1(bd[3], 1, "layer4_outconv_0")(x4))
+        x4_2x = resize_bilinear_align_corners(x4_out, x3.shape[1], x3.shape[2])
+        x3_out = batch_norm(train, "layer3_outconv_1")(
+            conv1x1(bd[3], 1, "layer3_outconv_0")(x3))
+        y = conv3x3(bd[3], 1, "layer3_outconv2_0")(x3_out + x4_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer3_outconv2_1")(y),
+                          negative_slope=0.01)
+        x3_out = batch_norm(train, "layer3_outconv2_4")(
+            conv3x3(bd[2], 1, "layer3_outconv2_3")(y))
+
+        x3_2x = resize_bilinear_align_corners(x3_out, x2.shape[1], x2.shape[2])
+        x2_out = batch_norm(train, "layer2_outconv_1")(
+            conv1x1(bd[2], 1, "layer2_outconv_0")(x2))
+        y = conv3x3(bd[2], 1, "layer2_outconv2_0")(x2_out + x3_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer2_outconv2_1")(y),
+                          negative_slope=0.01)
+        x2_out = batch_norm(train, "layer2_outconv2_4")(
+            conv3x3(bd[1], 1, "layer2_outconv2_3")(y))
+
+        x2_2x = resize_bilinear_align_corners(x2_out, x1.shape[1], x1.shape[2])
+        x1_out = batch_norm(train, "layer1_outconv_1")(
+            conv1x1(bd[1], 1, "layer1_outconv_0")(x1))
+        y = conv3x3(bd[1], 1, "layer1_outconv2_0")(x1_out + x2_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer1_outconv2_1")(y),
+                          negative_slope=0.01)
+        x1_out = batch_norm(train, "layer1_outconv2_4")(
+            conv3x3(bd[0], 1, "layer1_outconv2_3")(y))
+
+        return [x4_out, x3_out, x2_out, x1_out]

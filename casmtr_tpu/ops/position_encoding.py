@@ -65,3 +65,30 @@ def add_sine_pe_norm(x: jnp.ndarray, max_shape: Tuple[int, int]) -> jnp.ndarray:
     """x: [B, H, W, C] -> x + PE (broadcast over batch)."""
     _, h, w, c = x.shape
     return x + sine_pe_norm(c, h, w, max_shape=max_shape)[None].astype(x.dtype)
+
+
+def pe_sine_interpolation(embed_dim: int, h: int, w: int,
+                          grid_size: Tuple[int, int] = (48, 48),
+                          temperature: float = 10000.0) -> jnp.ndarray:
+    """PESineInterpolation (reference: position_encoding.py:89-123): fixed
+    sin/cos embedding built on ``grid_size`` then bicubic-resized to (h, w).
+    Channel layout [sin_w | cos_w | sin_h | cos_h] each embed_dim//4 wide.
+    Returns [H, W, C]."""
+    assert embed_dim % 4 == 0
+    gh, gw = grid_size
+    grid_w, grid_h = np.meshgrid(np.arange(gw, dtype=np.float32),
+                                 np.arange(gh, dtype=np.float32),
+                                 indexing="ij")
+    pos_dim = embed_dim // 4
+    omega = 1.0 / (temperature
+                   ** (np.arange(pos_dim, dtype=np.float32) / pos_dim))
+    out_w = np.einsum("m,d->md", grid_w.ravel(), omega)
+    out_h = np.einsum("m,d->md", grid_h.ravel(), omega)
+    emb = np.concatenate([np.sin(out_w), np.cos(out_w),
+                          np.sin(out_h), np.cos(out_h)], axis=1)
+    emb = emb.reshape(gh, gw, embed_dim)
+    if (gh, gw) != (h, w):
+        import jax
+        emb = np.asarray(jax.image.resize(jnp.asarray(emb), (h, w, embed_dim),
+                                          method="bicubic"))
+    return jnp.asarray(emb.astype(np.float32))
