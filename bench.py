@@ -12,9 +12,16 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 import argparse
 import functools
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the 704^2 train-step graph takes ~30 min to
+# compile through the axon remote-compile tunnel; cache it across runs
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
 import numpy as np
 
