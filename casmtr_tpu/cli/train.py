@@ -88,6 +88,9 @@ def main(argv=None):
 
     os.makedirs(args.run_dir, exist_ok=True)
     dump(cfg, os.path.join(args.run_dir, "config.json"))
+    from casmtr_tpu.utils.logging import TensorBoardWriter, get_logger
+    tb = TensorBoardWriter(os.path.join(args.run_dir, "tb"))
+    log = get_logger()
 
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
@@ -127,6 +130,8 @@ def main(argv=None):
             if i % args.log_every == 0:
                 s = {k: float(v) for k, v in scalars.items()}
                 rate = (i + 1) / (time.time() - t0 + 1e-9)
+                gstep = int(jax.device_get(state.step))
+                tb.scalars({f"train/{k}": v for k, v in s.items()}, gstep)
                 print(f"epoch {epoch} step {i}/{steps_per_epoch} "
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "
                       + " ".join(f"{k}={v:.3f}" for k, v in s.items()
@@ -144,6 +149,9 @@ def main(argv=None):
             if cfg.trainer.test_ema and state.ema_params is not None:
                 variables["params"] = jax.device_get(state.ema_params)
             results = run_validation(cfg, model, variables, val_loader)
+            tb.scalars({f"val/{k}": float(v) for k, v in results.items()},
+                       int(jax.device_get(state.step)))
+            tb.flush()
             print(f"epoch {epoch} val: "
                   + json.dumps({k: round(float(v), 4)
                                 for k, v in results.items()}))
