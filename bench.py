@@ -73,14 +73,14 @@ def main():
             return s2, scalars["loss"]
         return jax.lax.scan(body, state, None, length=n)
 
-    run = jax.jit(functools.partial(many_steps, n=args.iters),
-                  donate_argnums=(0,))
-    warm = jax.jit(functools.partial(many_steps, n=1), donate_argnums=(0,))
-    state, losses = warm(state, batch)
+    run = jax.jit(functools.partial(many_steps, n=args.iters))
+    # warm with the SAME compiled function (timing the first call would
+    # include the multi-minute remote compile)
+    state2, losses = run(state, batch)
     _ = float(losses[-1])
 
     t0 = time.perf_counter()
-    state, losses = run(state, batch)
+    state2, losses = run(state, batch)
     _ = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.iters
 
