@@ -198,6 +198,22 @@ class CasMTR(nn.Module):
                 idx_c01=idx_4c01 if train else None,
                 gt_idx_c01=batch.get("gt_idx_4c") if train else None,
                 gt_mask_c01=batch.get("gt_mask_4c") if train else None)
+            det_gt = det_conf_sel = det_valid = None
+            if train and cfg.coarse2.detector_mode is not None and \
+                    "gt_idx_4c" in batch:
+                # detector branch (reference cascade_matching.py:132-138):
+                # heatmap from the learnable head or the max conf logits
+                if heat4 is None:
+                    heat = ws4.next_conf_c01.reshape(B, *hw0_4c)
+                else:
+                    heat = heat4
+                det_key = batch.get("sample_key")
+                det_matrix = cm.detect_keypoints(
+                    heat, ws4.conf01, cfg.coarse2.detector_mode,
+                    cfg.coarse2.grid_size or 4, rng_key=det_key)
+                det_gt, det_conf_sel, det_valid = cm.select_detector_labels(
+                    det_matrix, mask4, idx_4c01, batch["gt_idx_4c"],
+                    batch["gt_mask_4c"], m_cap4)
             cascades["4c"] = CascadeStage(
                 conf_matrix=ws4.conf01, idx_c01=idx_4c01, idx_c10=idx_4c10,
                 next_idx_c01=ws4.next_idx_c01, next_idx_c10=ws4.next_idx_c10,
@@ -205,7 +221,9 @@ class CasMTR(nn.Module):
                 next_conf_c10=ws4.next_conf_c10, matches=matches_4c,
                 hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
                 window_gt_label=extras4.get("window_gt_label"),
-                window_conf=extras4.get("window_conf"))
+                window_conf=extras4.get("window_conf"),
+                detector_gt_label=det_gt, detector_conf=det_conf_sel,
+                detector_valid=det_valid)
             final_matches = matches_4c
             fine_feat0, fine_feat1 = feat_f0, feat_f1
             fine_ctx0, fine_ctx1 = t4_0, t4_1

@@ -235,3 +235,51 @@ def extract_cascade_matches(ws: WindowSoftmaxResult, mask: jnp.ndarray,
         extras["window_gt_label"] = window_gt.reshape(-1, Kw)[sel]
         extras["window_conf"] = ws.conf01.reshape(-1, Kw)[sel]
     return matches, extras
+
+
+def detect_keypoints(heatmap0, conf01, mode: str, grid_size: int,
+                     rng_key=None):
+    """Grid-wise hard keypoint selection with straight-through gradients
+    (reference cascade_functions.py:175-199): the heatmap is split into
+    grid_size x grid_size cells; one position per cell is selected (gumbel or
+    deterministic argmax), and the conf matrix rows of unselected positions
+    are zeroed (gradients pass through the soft selection).
+
+    heatmap0: [B, H, W]; conf01: [B, H*W, K]. Returns [B, H*W, K]."""
+    B, H, W = heatmap0.shape
+    K = conf01.shape[-1]
+    g = grid_size
+    cells = heatmap0.reshape(B, H // g, g, W // g, g)
+    cells = jnp.moveaxis(cells, 2, 3).reshape(B, (H // g) * (W // g), g * g)
+    if mode == "gumbel":
+        assert rng_key is not None, "gumbel detector needs an rng key"
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(rng_key, cells.shape, minval=1e-9,
+                               maxval=1.0) + 1e-9))
+        logits = cells + gumbel
+    elif mode == "ST":
+        logits = cells
+    else:
+        raise NotImplementedError(mode)
+    soft = jax.nn.softmax(logits, axis=-1)
+    hard = jax.nn.one_hot(jnp.argmax(soft, -1), g * g, dtype=soft.dtype)
+    sel = hard - jax.lax.stop_gradient(soft) + soft      # straight-through
+    sel = sel.reshape(B, H // g, W // g, g, g)
+    sel = jnp.moveaxis(sel, 3, 2).reshape(B, H * W)
+    return conf01 * sel[..., None]
+
+
+def select_detector_labels(detector_matrix, base_mask, idx_c01, gt_idx_c01,
+                           gt_mask_c01, m_cap: int):
+    """Fixed-capacity selection of detector-branch window labels
+    (reference cascade_matching.py:288-314): positions whose detector conf
+    exceeds uniform AND pass the base training mask AND have their gt inside
+    the window."""
+    B, L0, Kw = detector_matrix.shape
+    det_conf = detector_matrix.max(axis=2)
+    mask = base_mask & (det_conf > 1.0 / Kw)
+    window_gt = (gt_idx_c01[..., None] == idx_c01) & gt_mask_c01[..., None]
+    mask &= window_gt.sum(-1) == 1
+    sel, valid = select_topm(mask.reshape(-1), det_conf.reshape(-1), m_cap)
+    return (window_gt.reshape(-1, Kw)[sel],
+            detector_matrix.reshape(-1, Kw)[sel], valid)

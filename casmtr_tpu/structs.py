@@ -59,6 +59,10 @@ class CascadeStage:
     # training-only: window ground-truth labels gathered for the selected set
     window_gt_label: Optional[jnp.ndarray] = None   # [M, Kw]
     window_conf: Optional[jnp.ndarray] = None       # [M, Kw]
+    # training-only, detector branch (reference cascade_matching.py:288-314)
+    detector_gt_label: Optional[jnp.ndarray] = None   # [M, Kw]
+    detector_conf: Optional[jnp.ndarray] = None       # [M, Kw]
+    detector_valid: Optional[jnp.ndarray] = None      # [M]
 
 
 @struct.dataclass

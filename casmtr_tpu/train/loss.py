@@ -107,6 +107,12 @@ def casmtr_loss(out: MatchOutput, gt: Dict, expec_f_gt, cfg: LoftrConfig,
                             st.matches.valid, lc) * lc.cascade_weight
         loss = loss + lcas
         scalars[f"loss_{level_key}"] = lcas
+        if st.detector_gt_label is not None:
+            # detector branch loss (reference cascade_loss.py:234-239)
+            ldet = cascade_loss(st.detector_conf, st.detector_gt_label,
+                                st.detector_valid, lc) * lc.detector_weight
+            loss = loss + ldet
+            scalars[f"loss_{level_key}_det"] = ldet
 
     if out.fine is not None and expec_f_gt is not None:
         last = list(out.cascades.values())[-1] if out.cascades else out.coarse

@@ -129,3 +129,33 @@ def test_train_step_decreases_loss(rng):
         losses.append(float(scalars["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_detector_branch_training(rng):
+    """Training with a detector_mode produces detector labels and the loss
+    includes the detector term."""
+    from casmtr_tpu.config import override
+    from casmtr_tpu.models.casmtr import CasMTR
+
+    lcfg = tiny_casmtr_cfg((4,))
+    lcfg = override(lcfg, {"coarse2": {"detector": "learnable",
+                                       "detector_mode": "ST",
+                                       "grid_size": 4}})
+    model = CasMTR(lcfg)
+    batch = identity_batch(rng)
+    L4 = (64 // 4) ** 2
+    batch["gt_idx_4c"] = jnp.asarray(
+        np.arange(L4, dtype=np.int32)[None])
+    batch["gt_mask_4c"] = jnp.ones((1, L4), bool)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out, _ = model.apply(variables, batch, train=True,
+                         mutable=["batch_stats"])
+    st = out.cascades["4c"]
+    assert st.detector_gt_label is not None
+    assert st.detector_conf is not None
+    from casmtr_tpu.train.loss import casmtr_loss
+    from casmtr_tpu.train import supervision as spv
+    gt = spv.compute_supervision(batch, lcfg)
+    loss, scalars = casmtr_loss(out, gt, None, lcfg)
+    assert "loss_4c_det" in scalars
+    assert np.isfinite(float(loss))
