@@ -170,6 +170,9 @@ class LoftrConfig:
     match_cascade: MatchCascadeConfig = field(default_factory=MatchCascadeConfig)
     fine: FineConfig = field(default_factory=FineConfig)
     loss: LossConfig = field(default_factory=LossConfig)
+    # TPU-specific: rematerialize transformer layers in backward (trades one
+    # recompute for activation memory; needed above ~704^2 on 16GB chips)
+    remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -85,7 +85,7 @@ class CasMTRRefine(nn.Module):
         t8_0 = x8_0.reshape(B, -1, x8_0.shape[-1])
         t8_1 = x8_1.reshape(B, -1, x8_1.shape[-1])
         t8_0, t8_1 = LocalFeatureTransformer(
-            cfg.coarse, ts // 8, name="loftr_coarse")(
+            cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse")(
                 t8_0, t8_1, hw0_8c, hw1_8c, mask_8c0, mask_8c1)
         t8_0 = jax.lax.stop_gradient(t8_0)
         t8_1 = jax.lax.stop_gradient(t8_1)
@@ -133,7 +133,7 @@ class CasMTRRefine(nn.Module):
 
             t4_0 = x4_0.reshape(B, -1, x4_0.shape[-1])
             t4_1 = x4_1.reshape(B, -1, x4_1.shape[-1])
-            cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4,
+            cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4, remat=cfg.remat,
                                              name="loftr_coarse_4c")
             (t4_0, t4_1, idx_4c01, idx_4c10, heat4,
              corners_4c01, corners_4c10) = cft4(

@@ -74,7 +74,7 @@ class QuadtreeLoFTR(nn.Module):
         f0 = feat_c0.reshape(B, -1, feat_c0.shape[-1])
         f1 = feat_c1.reshape(B, -1, feat_c1.shape[-1])
         f0, f1 = LocalFeatureTransformer(
-            cfg.coarse, ts // 8, name="loftr_coarse")(
+            cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse")(
                 f0, f1, hc0, hc1, mask_c0, mask_c1)
 
         ds = matching.dual_softmax(
