@@ -76,8 +76,23 @@ def read_megadepth_image(path: str, resize: Optional[int] = None,
     img = _imread(path, gray)
     h, w = img.shape[:2]
     w_new, h_new = get_divisible_wh(*get_resized_wh(w, h, resize), df)
-    img = cv2.resize(img, (w_new, h_new))
     scale = np.array([w / w_new, h / h_new], np.float32)
+
+    if padding:
+        # native fused resize+pad+normalize fast path (C++,
+        # casmtr_tpu/native/image_ops.cpp); numpy/cv2 fallback below
+        try:
+            from casmtr_tpu.native import HAVE_NATIVE, resize_pad_normalize
+        except Exception:
+            HAVE_NATIVE = False
+        if HAVE_NATIVE:
+            src = img if img.ndim == 3 else img[..., None]
+            canvas, mask = resize_pad_normalize(
+                np.ascontiguousarray(src), h_new, w_new,
+                pad_size or max(h_new, w_new))
+            return canvas, mask, scale
+
+    img = cv2.resize(img, (w_new, h_new))
     mask = None
     if padding:
         img, mask = pad_bottom_right(

@@ -114,3 +114,21 @@ def test_dataloader_batches(tmp_path):
     assert batches[0]["image0"].ndim == 4  # NHWC
     assert batches[-1]["image0"].shape[0] == 1
     assert isinstance(batches[0]["pair_names"], list)
+
+
+def test_native_image_ops_parity():
+    """Native C++ fused resize+pad+normalize matches the numpy/cv2 path."""
+    from casmtr_tpu.native import HAVE_NATIVE, resize_pad_normalize
+    if not HAVE_NATIVE:
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(0)
+    img = (rng.random((60, 80, 3)) * 255).astype(np.uint8)
+    canvas, mask = resize_pad_normalize(img, 30, 40, 64)
+    ref = cv2.resize(img, (40, 30)).astype(np.float32) / 255.0
+    assert np.abs(canvas[:30, :40] - ref).max() < 0.02
+    assert canvas[30:].sum() == 0 and canvas[:, 40:].sum() == 0
+    assert mask[:30, :40].all() and not mask[30:].any()
+    # gray input broadcasts to 3 channels
+    g = (rng.random((50, 50, 1)) * 255).astype(np.uint8)
+    canvas, _ = resize_pad_normalize(g, 25, 25, 32)
+    assert np.allclose(canvas[..., 0], canvas[..., 1])
