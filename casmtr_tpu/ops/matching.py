@@ -80,11 +80,17 @@ def valid_extent(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def select_topm(mask_flat: jnp.ndarray, conf_flat: jnp.ndarray, m_cap: int):
     """Select the top-``m_cap`` valid entries by confidence from flattened
-    [N] arrays. Returns (indices [M], valid [M])."""
+    [N] arrays. Returns (indices [M], valid [M]); slots beyond N (when the
+    capacity exceeds the candidate count) are invalid."""
+    n = mask_flat.shape[0]
+    k = min(m_cap, n)
     score = jnp.where(mask_flat, conf_flat, -jnp.inf)
-    # add a tiny index-based tiebreaker for determinism
-    vals, idx = jax.lax.top_k(score, m_cap)
-    return idx.astype(jnp.int32), jnp.isfinite(vals) & (vals > -jnp.inf)
+    vals, idx = jax.lax.top_k(score, k)
+    valid = jnp.isfinite(vals)
+    if k < m_cap:
+        idx = jnp.pad(idx, (0, m_cap - k))
+        valid = jnp.pad(valid, (0, m_cap - k))
+    return idx.astype(jnp.int32), valid
 
 
 def grid_to_pixels(flat_idx, w, scale, scale_xy=None):
