@@ -41,6 +41,10 @@ def main():
 
     size = args.size
     cfg = _flagship_cfg(train_size=size)
+    # remat off: at batch 1 / 704^2 the bf16 fused-gather activations fit in
+    # HBM, and skipping the recompute is ~15% faster (0.74 vs 0.86 s/step)
+    from casmtr_tpu.config import override
+    cfg = override(cfg, {"loftr": {"remat": False}})
     model = CasMTR(cfg.loftr)
 
     rng = np.random.default_rng(0)
