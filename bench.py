@@ -31,7 +31,7 @@ BASELINE_S_PER_STEP = 1.19
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=704)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
     args = p.parse_args()
 
