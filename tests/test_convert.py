@@ -181,3 +181,56 @@ def test_conv1x1_as_dense_equivalence(rng):
     got = fm.apply(new_vars, xj)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_full_casmtr_name_coverage(rng):
+    """Every flax param/batch-stat in a full CasMTR tree maps to a torch key
+    and converts back with the right shape (synthetic state dict built from
+    the derived names — catches naming drift across the whole model)."""
+    import jax
+    import jax.numpy as jnp
+    from casmtr_tpu.utils.convert import (_transform, convert_state_dict,
+                                          flax_path_to_torch_key)
+    from tests.test_casmtr_model import tiny_casmtr_cfg
+    from casmtr_tpu.models.casmtr import CasMTR
+
+    cfg = tiny_casmtr_cfg((4, 2))
+    model = CasMTR(cfg)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           {"image0": img, "image1": img}, train=False)
+
+    # build a synthetic torch state dict with torch-layout shapes
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from walk(v, path + (k,))
+        else:
+            yield path, tree
+
+    sd = {}
+    for col in ("params", "batch_stats"):
+        for path, leaf in walk(variables.get(col, {})):
+            key = flax_path_to_torch_key(path[:-1], path[-1])
+            shape = tuple(leaf.shape)
+            if path[-1] == "kernel":
+                if len(shape) == 4:   # HWIO -> OIHW
+                    tshape = (shape[3], shape[2], shape[0], shape[1])
+                elif len(shape) == 2:  # IO -> OI
+                    tshape = (shape[1], shape[0])
+                else:
+                    tshape = shape
+            else:
+                tshape = shape
+            vals = np.random.default_rng(7).standard_normal(
+                tshape).astype(np.float32)
+            if path[-1] == "var":  # BN variances must be positive
+                vals = np.abs(vals) + 0.5
+            sd[key] = vals
+
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"], report["missing"][:5]
+    assert not report["unused"], report["unused"][:5]
+    # converted model still runs
+    out = model.apply(new_vars, {"image0": img, "image1": img}, train=False)
+    assert np.isfinite(np.asarray(out.coarse.conf_matrix)).all()
