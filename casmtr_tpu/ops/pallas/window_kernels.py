@@ -180,3 +180,130 @@ def window_patch_score_jnp(q_blk, feat1, corners, w: int):
     f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2)
     return jnp.einsum("bpfd,bpkd->bpfk", q_blk.astype(jnp.float32),
                       f1_g.astype(jnp.float32))
+
+
+def _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w: int, n_heads: int,
+                                     interpret: bool = False):
+    """Fused cascade window cross-attention forward.
+
+    Per parent: DMA the (2w x 2w) K and V patches (stored as one fused
+    [H1, W1, 2C] field), compute per-head scores for the 4 child queries,
+    softmax over the 4w^2 candidates, and accumulate the message — nothing
+    but the [B, P, 4, C] messages ever leaves VMEM.
+
+    q_blk: [B, P, 4, C]; kv2d: [B, H1, W1, 2C] ([K || V]); corners: [B, P, 2].
+    Returns message [B, P, 4, C] (candidate enumeration matches
+    cascade_qtatt_b; the softmax is over the patch in candidate order, which
+    equals pixel order up to a permutation — softmax is order-invariant).
+    """
+    B, P, four, C = q_blk.shape
+    assert four == 4 and C % n_heads == 0
+    Dh = C // n_heads
+    _, H1, W1, C2 = kv2d.shape
+    assert C2 == 2 * C
+    size = 2 * w
+    TP = 8
+    scale = Dh ** -0.5
+    P_pad = -(-P // TP) * TP
+    if P_pad != P:
+        q_blk = jnp.pad(q_blk, ((0, 0), (0, P_pad - P), (0, 0), (0, 0)))
+        corners = jnp.pad(corners, ((0, 0), (0, P_pad - P), (0, 0)))
+
+    def kernel(corners_ref, q_ref, kv_ref, out_ref, patch_ref, sem_ref):
+        b = pl.program_id(0)
+
+        def dma(i):
+            ty = corners_ref[0, i, 0] * 2
+            tx = corners_ref[0, i, 1] * 2
+            return pltpu.make_async_copy(
+                kv_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
+                patch_ref.at[i], sem_ref.at[i])
+
+        for i in range(TP):
+            dma(i).start()
+        for i in range(TP):
+            dma(i).wait()
+            patch = patch_ref[i].reshape(size * size, 2 * C)
+            kp = patch[:, :C].reshape(size * size, n_heads, Dh)
+            vp = patch[:, C:].reshape(size * size, n_heads, Dh)
+            q = q_ref[0, i].reshape(4, n_heads, Dh)
+            # per-head scores [H, 4, (2w)^2]
+            s = jax.lax.dot_general(
+                jnp.swapaxes(q, 0, 1), jnp.swapaxes(kp, 0, 1),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            a = jax.nn.softmax(s, axis=-1)
+            m = jax.lax.dot_general(
+                a, jnp.swapaxes(vp, 0, 1).astype(jnp.float32),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [H, 4, Dh]
+            out_ref[0, i] = jnp.swapaxes(m, 0, 1).reshape(4, C)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, P_pad, 4, C), jnp.float32),
+        grid=(B, P_pad // TP),
+        in_specs=[
+            pl.BlockSpec((1, TP, 2), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TP, size, size, 2 * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((TP,)),
+        ],
+        interpret=interpret,
+    )(corners.astype(jnp.int32), q_blk.astype(jnp.float32),
+      kv2d.astype(jnp.float32))
+    return out[:, :P]
+
+
+def window_patch_attention_jnp(q_blk, kv2d, corners, w: int, n_heads: int):
+    """jnp oracle of the fused window attention (per-head gather formulation)."""
+    B, P, _, C = q_blk.shape
+    Dh = C // n_heads
+    H1, W1 = kv2d.shape[1:3]
+    idx = _expand_corner_indices(corners, w, W1)            # [B, P, K]
+    kv_flat = kv2d.reshape(B, H1 * W1, 2 * C)
+    g = jnp.take_along_axis(kv_flat[:, None], idx[..., None], axis=2)
+    kp = g[..., :C].reshape(B, P, -1, n_heads, Dh)
+    vp = g[..., C:].reshape(B, P, -1, n_heads, Dh)
+    q = q_blk.reshape(B, P, 4, n_heads, Dh)
+    s = jnp.einsum("bpfhd,bpchd->bpfhc", q.astype(jnp.float32),
+                   kp.astype(jnp.float32)) * (Dh ** -0.5)
+    a = jax.nn.softmax(s, axis=-1)
+    m = jnp.einsum("bpfhc,bpchd->bpfhd", a, vp.astype(jnp.float32))
+    return m.reshape(B, P, 4, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def window_patch_attention(q_blk, kv2d, corners, w: int, n_heads: int,
+                           interpret: bool = False):
+    """Fused window cross-attention (Pallas on TPU, oracle elsewhere)."""
+    if not interpret and jax.devices()[0].platform == "tpu":
+        return _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w,
+                                                n_heads, interpret=False)
+    return window_patch_attention_jnp(q_blk, kv2d, corners, w, n_heads)
+
+
+def _att_fwd(q_blk, kv2d, corners, w, n_heads, interpret):
+    out = window_patch_attention(q_blk, kv2d, corners, w, n_heads, interpret)
+    return out, (q_blk, kv2d, corners)
+
+
+def _att_bwd(w, n_heads, interpret, res, g):
+    """Backward via the jnp formulation (transient gathers; the scatter-add
+    into kv2d is the CUDA atomicAdd analogue)."""
+    q_blk, kv2d, corners = res
+    f = lambda q_, kv_: window_patch_attention_jnp(q_, kv_, corners, w,
+                                                   n_heads)
+    _, vjp = jax.vjp(f, q_blk, kv2d)
+    dq, dkv = vjp(g)
+    return dq, dkv, None
+
+
+window_patch_attention.defvjp(_att_fwd, _att_bwd)
