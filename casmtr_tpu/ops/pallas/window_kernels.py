@@ -209,35 +209,48 @@ def _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w: int, n_heads: int,
         q_blk = jnp.pad(q_blk, ((0, 0), (0, P_pad - P), (0, 0), (0, 0)))
         corners = jnp.pad(corners, ((0, 0), (0, P_pad - P), (0, 0)))
 
-    def kernel(corners_ref, q_ref, kv_ref, out_ref, patch_ref, sem_ref):
+    def kernel(corners_ref, q_ref, k_ref, v_ref, out_ref, kpatch_ref,
+               vpatch_ref, sem_ref):
         b = pl.program_id(0)
 
-        def dma(i):
+        def dma_k(i):
             ty = corners_ref[0, i, 0] * 2
             tx = corners_ref[0, i, 1] * 2
             return pltpu.make_async_copy(
-                kv_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
-                patch_ref.at[i], sem_ref.at[i])
+                k_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
+                kpatch_ref.at[i], sem_ref.at[2 * i])
+
+        def dma_v(i):
+            ty = corners_ref[0, i, 0] * 2
+            tx = corners_ref[0, i, 1] * 2
+            return pltpu.make_async_copy(
+                v_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
+                vpatch_ref.at[i], sem_ref.at[2 * i + 1])
 
         for i in range(TP):
-            dma(i).start()
+            dma_k(i).start()
+            dma_v(i).start()
         for i in range(TP):
-            dma(i).wait()
-            patch = patch_ref[i].reshape(size * size, 2 * C)
-            kp = patch[:, :C].reshape(size * size, n_heads, Dh)
-            vp = patch[:, C:].reshape(size * size, n_heads, Dh)
-            q = q_ref[0, i].reshape(4, n_heads, Dh)
-            # per-head scores [H, 4, (2w)^2]
-            s = jax.lax.dot_general(
-                jnp.swapaxes(q, 0, 1), jnp.swapaxes(kp, 0, 1),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            a = jax.nn.softmax(s, axis=-1)
-            m = jax.lax.dot_general(
-                a, jnp.swapaxes(vp, 0, 1).astype(jnp.float32),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # [H, 4, Dh]
-            out_ref[0, i] = jnp.swapaxes(m, 0, 1).reshape(4, C)
+            dma_k(i).wait()
+            dma_v(i).wait()
+            kp_all = kpatch_ref[i].reshape(size * size, C)
+            vp_all = vpatch_ref[i].reshape(size * size, C)
+            q = q_ref[0, i]                              # [4, C]
+            # per-head via static lane slices (Mosaic cannot split the lane
+            # dim with a reshape)
+            for h in range(n_heads):
+                kp = kp_all[:, h * Dh:(h + 1) * Dh]      # [(2w)^2, Dh]
+                vp = vp_all[:, h * Dh:(h + 1) * Dh]
+                qh = q[:, h * Dh:(h + 1) * Dh]           # [4, Dh]
+                s = jax.lax.dot_general(
+                    qh, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                a = jax.nn.softmax(s, axis=-1)           # [4, (2w)^2]
+                m = jax.lax.dot_general(
+                    a, vp.astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [4, Dh]
+                out_ref[0, i, :, h * Dh:(h + 1) * Dh] = m
 
     out = pl.pallas_call(
         kernel,
@@ -249,16 +262,18 @@ def _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w: int, n_heads: int,
             pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TP, size, size, 2 * C), jnp.float32),
-            pltpu.SemaphoreType.DMA((TP,)),
+            pltpu.VMEM((TP, size, size, C), jnp.float32),
+            pltpu.VMEM((TP, size, size, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * TP,)),
         ],
         interpret=interpret,
     )(corners.astype(jnp.int32), q_blk.astype(jnp.float32),
-      kv2d.astype(jnp.float32))
+      kv2d[..., :C], kv2d[..., C:])
     return out[:, :P]
 
 

@@ -416,7 +416,14 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
     B, Lq, H, D = q.shape
     Kw = topk_pos.shape[2]
 
-    if corners is not None and rel_pos is None and dilated == 1:
+    import os
+    use_fused = os.environ.get("CASMTR_FUSED_CASCADE_ATT", "0") == "1"
+    # NOTE: measured on v5e the fused kernel is NOT faster than the
+    # head-shared-gather path (tiny per-head matmuls + doubled patch DMAs
+    # cancel the gather saving), so it is opt-in; it does still avoid the
+    # gathered K/V HBM materialization (memory-constrained configs).
+    if (use_fused and corners is not None and rel_pos is None
+            and dilated == 1):
         # structured fast path: candidates are a contiguous (2w x 2w) patch
         # per parent -> fused patch-DMA attention kernel (Pallas on TPU),
         # no gathered K/V tensors in HBM

@@ -97,8 +97,9 @@ def test_structured_matches_unstructured_in_matcher(rng):
                                   np.asarray(b.next_idx_c01))
 
 
-def test_cascade_attention_structured_equals_generic(rng):
+def test_cascade_attention_structured_equals_generic(rng, monkeypatch):
     """cascade_qtatt_b fast path (corners) == generic gather path."""
+    monkeypatch.setenv("CASMTR_FUSED_CASCADE_ATT", "1")
     import jax.numpy as jnp
     from casmtr_tpu.models.cascade_transformer import window_warp_idx
     from casmtr_tpu.ops.propagation import get_propagations
