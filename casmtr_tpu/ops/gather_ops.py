@@ -53,6 +53,27 @@ def get_backend() -> str:
     return "jnp"
 
 
+def use_pallas_fine() -> bool:
+    """True when the fused masked-flash fine-level kernel should be used.
+
+    The TPU-native equivalent of K1+K2 lives at the fused attention boundary
+    (ops/pallas/quadtree_kernels.py) rather than behind the candidate-format
+    gather_scores/gather_aggregate signatures: extracting candidate-format
+    tensors is inherently gather-shaped, which is exactly the thing the TPU
+    formulation eliminates.  Backend 'pallas' therefore means "use the Pallas
+    kernels at their natural fusion boundaries"; the candidate-format ops
+    below intentionally keep their jnp implementations (they remain the
+    oracles and serve QTAttA, which is not used by any released recipe).
+    """
+    if get_backend() != "pallas":
+        return False
+    try:
+        from casmtr_tpu.ops.pallas import HAVE_PALLAS_KERNELS
+        return HAVE_PALLAS_KERNELS
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # jnp oracle implementations
 # ---------------------------------------------------------------------------
@@ -119,23 +140,16 @@ def _window_score_jnp(feat0, feat1, idx):
 # ---------------------------------------------------------------------------
 
 def gather_scores(query, key, idx):
-    if get_backend() == "pallas":
-        from casmtr_tpu.ops.pallas import gather_scores_pallas
-        return gather_scores_pallas(query, key, idx)
+    # candidate-format extraction is gather-shaped on any backend; the Pallas
+    # path replaces this op's call sites wholesale (see use_pallas_fine).
     return _gather_scores_jnp(query, key, idx)
 
 
 def gather_aggregate(attn, value, idx):
-    if get_backend() == "pallas":
-        from casmtr_tpu.ops.pallas import gather_aggregate_pallas
-        return gather_aggregate_pallas(attn, value, idx)
     return _gather_aggregate_jnp(attn, value, idx)
 
 
 def window_score(feat0, feat1, idx):
-    if get_backend() == "pallas":
-        from casmtr_tpu.ops.pallas import window_score_pallas
-        return window_score_pallas(feat0, feat1, idx)
     return _window_score_jnp(feat0, feat1, idx)
 
 

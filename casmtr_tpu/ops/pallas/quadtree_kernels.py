@@ -1,0 +1,431 @@
+"""Masked-flash Pallas TPU kernels for the quadtree fine levels (K1+K2).
+
+The reference implements the fine levels of quadtree attention with two CUDA
+kernels: K1 gathered score computation (cuda_imp/QuadTreeAttention/
+QuadtreeAttention/src/score_computation_kernal.cu:21-62, backward :94-143) and
+K2 sparse value aggregation (.../src/value_aggregation_kernel.cu:21-42,
+backward :55-76), glued by a softmax + top-k in Python
+(.../modules/quadtree_attention.py:180-229).
+
+Per-head scattered gathers are descriptor-bound on TPU (measured ~65M
+descriptors/s => ~3.8 ms for one 88x88 level), and the backward scatter-add is
+worse.  The TPU-native formulation chosen here fuses K1 + softmax + K2 into
+one kernel that never gathers:
+
+* keys/values are laid out CHILD-MAJOR, one [Lb, D] segment per 2x2-child
+  (Lb = number of 2x2 blocks of the key grid), so each candidate block id
+  addresses the same row in all four segments;
+* dense per-head QK is computed segment-by-segment on the MXU against ALL
+  keys;
+* a membership BIAS (0 for candidate blocks, -1e30 otherwise) is built on the
+  VPU from the previous level's top-k block ids by K compares against a block
+  iota — this replaces the gather;
+* full-row softmax + value aggregation run in VMEM; with the bias, the
+  result is numerically the softmax over exactly the 4K gathered candidates
+  (exp(-1e30 + s) == 0, and candidate scores always dominate the row max),
+  so parity with the gather oracle is exact up to fp association;
+* the intermediate levels' top-k over candidates is computed in-kernel by
+  iterative max-extraction on the masked scores (selection identical to
+  top-k over the gathered candidate softmax, since softmax is monotonic in
+  the score within a row);
+* the backward pass recomputes the masked scores and produces dQ/dK/dV as
+  dense flash-style matmuls — the CUDA atomicAdd scatter becomes plain
+  accumulation over query tiles.
+
+Correctness requires the per-(query-block, head) candidate ids to be
+DISTINCT, which top-k guarantees; a duplicated id would be double-counted by
+the gather formulation but single-counted by the mask.
+
+Top-k tie-breaking: lowest child-major column (= child-then-block order),
+whereas the reference breaks ties by candidate enumeration order.  Ties
+between distinct keys with bit-equal scores are measure-zero; the final
+message is tie-order invariant regardless.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+_TP = 128  # query parents per grid step (=> 4*_TP query rows)
+
+# The backward's per-child live set (several [_TP, Lb] f32 tiles) exceeds the
+# default 16 MiB scoped-vmem budget at Lb ~ (88/2)^2; v5e has 128 MiB VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
+
+def _membership_bias(ids, Lb: int):
+    """[TP, K] candidate block ids -> additive bias [TP, Lb] (0 / -1e30)."""
+    TP, K = ids.shape
+    blk = jax.lax.broadcasted_iota(jnp.int32, (TP, Lb), 1)
+    hit = ids[:, 0:1] == blk
+    for t in range(1, K):
+        hit = jnp.logical_or(hit, ids[:, t:t+1] == blk)
+    return jnp.where(hit, 0.0, _NEG).astype(jnp.float32)
+
+
+def _build_scores(q_c, k_ref, bias, s_scr, scale: float):
+    """Fill s_scr[j] = q_c @ k_j^T * scale + bias for the 4 child segments."""
+    for j in range(4):
+        s = jax.lax.dot_general(
+            q_c, k_ref[0, 0, j],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_scr[j] = s * scale + bias
+
+
+def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr, *, scale: float,
+                Lb: int, n_topk: int, ts_ref=None, ti_ref=None):
+    """One [_TP parents x all keys] tile: scores -> softmax -> (top-k) -> PV.
+
+    VMEM/MXU discipline: exactly ONE exp pass (p overwrites the score
+    scratch), and the P @ V matmul runs with p cast to the value dtype so a
+    bf16 model pays a single MXU pass instead of an emulated-f32 multi-pass.
+    """
+    bias = _membership_bias(ids_ref[0, 0], Lb)
+    hit = bias == 0.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TP, Lb), 1)
+    vdt = v_ref.dtype
+    for c in range(4):
+        q_c = q_ref[0, 0, c]
+        _build_scores(q_c, k_ref, bias, s_scr, scale)
+        m = jnp.max(s_scr[0], axis=1, keepdims=True)
+        for j in range(1, 4):
+            m = jnp.maximum(m, jnp.max(s_scr[j], axis=1, keepdims=True))
+        l = jnp.zeros_like(m)
+        acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
+        for j in range(4):
+            p = jnp.exp(s_scr[j] - m)   # masked cols: exp(-1e30 - m) == 0
+            l = l + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(vdt), v_ref[0, 0, j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if n_topk:
+                # keep p for extraction; non-candidates pinned to -1 so a
+                # candidate whose exp underflowed to 0 still wins the max.
+                s_scr[j] = jnp.where(hit, p, jnp.float32(-1.0))
+        msg_ref[0, 0, c] = acc / l
+        # iterative top-k extraction on the candidate p values (softmax is
+        # monotonic in the score, so selection order matches the oracle).
+        big = jnp.int32(2 ** 30)
+        for t in range(n_topk):
+            m_t = jnp.max(s_scr[0], axis=1, keepdims=True)
+            for j in range(1, 4):
+                m_t = jnp.maximum(m_t, jnp.max(s_scr[j], axis=1,
+                                               keepdims=True))
+            c_best = jnp.full((_TP, 1), big, jnp.int32)
+            for j in range(4):
+                cj = jnp.min(jnp.where(s_scr[j] == m_t, col, big),
+                             axis=1, keepdims=True)
+                c_best = jnp.minimum(
+                    c_best, jnp.where(cj < Lb, cj + j * Lb, big))
+            ts_ref[0, 0, c, :, t:t+1] = m_t / l
+            ti_ref[0, 0, c, :, t:t+1] = c_best
+            for j in range(4):
+                s_scr[j] = jnp.where(col + j * Lb == c_best,
+                                     jnp.float32(-2.0), s_scr[j])
+
+
+def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, dq_ref, dk_ref,
+                dv_ref, s_scr, *, scale: float, Lb: int):
+    """Flash-style backward: one score pass into the [4, _TP, Lb] scratch
+    (re-used as the p scratch — ~4 MiB at Lb = (88/2)^2, well inside the
+    raised vmem budget), and delta = rowsum(dO * O) from the saved forward
+    output instead of a dP pass, so each child costs 4 score + 4 dP + 12
+    gradient matmuls and a single exp sweep."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        for j in range(4):
+            dk_ref[0, 0, j] = jnp.zeros(dk_ref.shape[-2:], jnp.float32)
+            dv_ref[0, 0, j] = jnp.zeros(dv_ref.shape[-2:], jnp.float32)
+
+    bias = _membership_bias(ids_ref[0, 0], Lb)
+    kdt = k_ref.dtype
+
+    def dp(g_c, j):
+        return jax.lax.dot_general(
+            g_c, v_ref[0, 0, j],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for c in range(4):
+        q_c = q_ref[0, 0, c]
+        g_c = g_ref[0, 0, c]
+        # pass 1: scores -> scratch; row max across the 4 child segments
+        _build_scores(q_c, k_ref, bias, s_scr, scale)
+        m = jnp.max(s_scr[0], axis=1, keepdims=True)
+        for j in range(1, 4):
+            m = jnp.maximum(m, jnp.max(s_scr[j], axis=1, keepdims=True))
+        # pass 2: p = exp(s - m) overwrites the scratch; normalizer
+        l = jnp.zeros_like(m)
+        for j in range(4):
+            p_j = jnp.exp(s_scr[j] - m)   # masked cols: exp(-1e30 - m) == 0
+            l = l + jnp.sum(p_j, axis=1, keepdims=True)
+            s_scr[j] = p_j
+        # delta = rowsum(dO * O): O = A @ V (saved forward output), so
+        # sum_c A_c (g . V_c) == g . O — no dP pass needed for delta.
+        delta = jnp.sum(g_c.astype(jnp.float32) * o_ref[0, 0, c],
+                        axis=1, keepdims=True)
+        # pass 3: dS = A * (dP - delta); accumulate dQ / dK / dV.  The
+        # [_TP, Lb]-operand matmuls run in the model dtype (bf16 => one MXU
+        # pass); accumulation stays f32 via preferred_element_type.
+        dq_acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
+        for j in range(4):
+            a_j = s_scr[j] / l
+            ds_j = ((a_j * (dp(g_c, j) - delta) * scale)).astype(kdt)
+            a_j = a_j.astype(kdt)
+            dq_acc = dq_acc + jax.lax.dot_general(
+                ds_j, k_ref[0, 0, j],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_ref[0, 0, j] += jax.lax.dot_general(
+                ds_j, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_ref[0, 0, j] += jax.lax.dot_general(
+                a_j, g_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_ref[0, 0, c] = dq_acc
+
+
+# ---------------------------------------------------------------------------
+# layout transforms (host-side jnp)
+# ---------------------------------------------------------------------------
+
+def _to_child_major(x, h: int, w: int):
+    """Tokens [B, h*w, H, D] -> child-major segments [B, H, 4, Lb, D]
+    (child j = dr*2+dc; block b = row-major over the (h/2, w/2) grid)."""
+    B, L, H, D = x.shape
+    xb = x.reshape(B, h // 2, 2, w // 2, 2, H, D)
+    xb = xb.transpose(0, 5, 2, 4, 1, 3, 6)       # B H 2 2 h/2 w/2 D
+    return xb.reshape(B, H, 4, (h // 2) * (w // 2), D)
+
+
+def _pad_parents(x, axis: int, p_pad: int):
+    P = x.shape[axis]
+    if P == p_pad:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, p_pad - P)
+    return jnp.pad(x, pads)
+
+
+def _specs(B, H, P_pad, D, Lb, KX):
+    in_specs = [
+        pl.BlockSpec((1, 1, _TP, KX), lambda b, h, p: (b, h, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 4, _TP, D), lambda b, h, p: (b, h, 0, p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    msg_spec = pl.BlockSpec((1, 1, 4, _TP, D), lambda b, h, p: (b, h, 0, p, 0),
+                            memory_space=pltpu.VMEM)
+    return in_specs, msg_spec
+
+
+def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
+    B, H, _, P_pad, D = q_cm.shape
+    Lb = k_cm.shape[3]
+    KX = ids_bh.shape[-1]
+    scale = D ** -0.5
+    grid = (B, H, P_pad // _TP)
+    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
+    scratch = [pltpu.VMEM((4, _TP, Lb), jnp.float32)]
+    if n_topk == 0:
+        kern = functools.partial(_fwd_kernel, scale=scale, Lb=Lb, n_topk=0)
+        msg = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=msg_spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+            scratch_shapes=scratch, interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(ids_bh, q_cm, k_cm, v_cm)
+        return msg, None, None
+
+    def kern(ids_ref, q_ref, k_ref, v_ref, msg_ref, ts_ref, ti_ref, s_scr):
+        _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr,
+                    scale=scale, Lb=Lb, n_topk=n_topk, ts_ref=ts_ref,
+                    ti_ref=ti_ref)
+
+    tk_spec = pl.BlockSpec((1, 1, 4, _TP, n_topk),
+                           lambda b, h, p: (b, h, 0, p, 0),
+                           memory_space=pltpu.VMEM)
+    msg, ts, ti = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(msg_spec, tk_spec, tk_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 4, P_pad, n_topk), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 4, P_pad, n_topk), jnp.int32),
+        ),
+        scratch_shapes=scratch, interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(ids_bh, q_cm, k_cm, v_cm)
+    return msg, ts, ti
+
+
+def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, interpret: bool):
+    B, H, _, P_pad, D = q_cm.shape
+    Lb = k_cm.shape[3]
+    KX = ids_bh.shape[-1]
+    scale = D ** -0.5
+    grid = (B, H, P_pad // _TP)
+    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
+    in_specs = in_specs + [msg_spec, msg_spec]  # g, o
+    kv_spec = pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_bwd_kernel, scale=scale, Lb=Lb)
+    dq, dk, dv = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(msg_spec, kv_spec, kv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 4, Lb, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 4, Lb, D), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, _TP, Lb), jnp.float32)],
+        interpret=interpret, compiler_params=_COMPILER_PARAMS,
+    )(ids_bh, q_cm, k_cm, v_cm, g_cm, o_cm)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+def _prepare(q, k, v, topk_idx_prev, hw_q, hw_k):
+    from casmtr_tpu.ops.quadtree import block_children
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    P = Lq // 4
+    P_pad = -(-P // _TP) * _TP
+    q_cm = block_children(q, h0, w0).transpose(0, 3, 2, 1, 4)  # [B,H,4,P,D]
+    q_cm = _pad_parents(q_cm, 3, P_pad)
+    k_cm = _to_child_major(k, h1, w1)
+    v_cm = _to_child_major(v, h1, w1)
+    ids_bh = _pad_parents(topk_idx_prev.transpose(0, 3, 1, 2), 2, P_pad)
+    return q_cm, k_cm, v_cm, ids_bh.astype(jnp.int32), P
+
+
+def _msg_out(msg, P):
+    return msg[:, :, :, :P].transpose(0, 3, 2, 1, 4)  # [B, P, 4, H, D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _message(q, k, v, topk_idx_prev, hw_q, hw_k, interpret=False):
+    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
+    msg, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
+    return _msg_out(msg, P)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _message_topk(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret=False):
+    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
+    msg, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
+    return _msg_out(msg, P), ts[:, :, :, :P], ti[:, :, :, :P]
+
+
+def _shared_bwd(q, k, v, topk_idx_prev, msg, hw_q, hw_k, interpret, g_msg):
+    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
+    # cotangent back to kernel layout, zero-padded parents; model dtype so the
+    # dP / dV matmuls stay single-pass on the MXU (f32 acc regardless).
+    g_cm = _pad_parents(g_msg.transpose(0, 3, 2, 1, 4).astype(q.dtype),
+                        3, q_cm.shape[3])
+    # forward output (residual) in kernel layout: delta = rowsum(dO * O)
+    o_cm = _pad_parents(msg.transpose(0, 3, 2, 1, 4), 3, q_cm.shape[3])
+    dq_cm, dk_cm, dv_cm = _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm,
+                                    interpret)
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    from casmtr_tpu.ops.quadtree import unblock_children
+    dq = unblock_children(dq_cm[:, :, :, :P].transpose(0, 3, 2, 1, 4),
+                          h0 // 2, w0 // 2).astype(q.dtype)
+
+    def from_cm(x):  # [B, H, 4, Lb, D] -> [B, Lk, H, D]
+        xb = x.reshape(B, H, 2, 2, h1 // 2, w1 // 2, D)
+        xb = xb.transpose(0, 4, 2, 5, 3, 1, 6)   # B h/2 2 w/2 2 H D
+        return xb.reshape(B, h1 * w1, H, D)
+
+    dk = from_cm(dk_cm).astype(k.dtype)
+    dv = from_cm(dv_cm).astype(v.dtype)
+    return dq, dk, dv, None
+
+
+def _message_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, interpret):
+    out = _message(q, k, v, topk_idx_prev, hw_q, hw_k, interpret)
+    return out, (q, k, v, topk_idx_prev, out)
+
+
+def _message_bwd(hw_q, hw_k, interpret, res, g):
+    return _shared_bwd(*res, hw_q, hw_k, interpret, g)
+
+
+_message.defvjp(_message_fwd, _message_bwd)
+
+
+def _message_topk_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret):
+    out = _message_topk(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret)
+    return out, (q, k, v, topk_idx_prev, out[0])
+
+
+def _message_topk_bwd(hw_q, hw_k, topk, interpret, res, g):
+    # top-k outputs are selection results: no gradient (callers discard them)
+    return _shared_bwd(*res, hw_q, hw_k, interpret, g[0])
+
+
+_message_topk.defvjp(_message_topk_fwd, _message_topk_bwd)
+
+
+def masked_fine_level(q, k, v, topk_idx_prev, hw_q: Tuple[int, int],
+                      hw_k: Tuple[int, int], topk: int = 0,
+                      interpret: Optional[bool] = None):
+    """Fused quadtree fine-level attention (K1 + softmax + top-k + K2).
+
+    Drop-in for the gather path of ``_fine_level_b`` when rel_pos is None.
+
+    Args:
+      q: [B, Lq, H, D] current-level queries; k/v: [B, Lk, H, D].
+      topk_idx_prev: [B, P, K, H] int32 flat block ids into the previous
+        (2x coarser) key grid, P == Lq//4; per (p, h) ids must be distinct.
+      hw_q / hw_k: (h, w) of the query / key grids.
+      topk: if > 0, also return the top-k over the 4K candidates per query.
+    Returns:
+      (message [B, P, 4, H, D] f32,
+       topk_score [B, Lq, topk, H] f32 or None,
+       topk_idx [B, Lq, topk, H] int32 flat key-grid indices or None).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    if topk == 0:
+        return _message(q, k, v, topk_idx_prev, (h0, w0), (h1, w1),
+                        interpret), None, None
+    assert topk <= 4 * topk_idx_prev.shape[2], (topk, topk_idx_prev.shape)
+    msg, ts, ti = _message_topk(q, k, v, topk_idx_prev, (h0, w0), (h1, w1),
+                                topk, interpret)
+    # child-major column -> flat key-grid index
+    Lb = (h1 // 2) * (w1 // 2)
+    w2 = w1 // 2
+    child, blk = ti // Lb, ti % Lb
+    flat = (((blk // w2) * 2 + child // 2) * w1
+            + (blk % w2) * 2 + child % 2).astype(jnp.int32)
+    # [B, H, 4, P, k] -> [B, P, 4, k, H] -> unblock -> [B, Lq, k, H]
+    from casmtr_tpu.ops.quadtree import unblock_children
+    perm = (0, 3, 2, 4, 1)
+    ts = unblock_children(ts.transpose(perm), h0 // 2, w0 // 2)
+    flat = unblock_children(flat.transpose(perm), h0 // 2, w0 // 2)
+    return msg, ts, flat

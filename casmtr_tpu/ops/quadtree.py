@@ -154,18 +154,41 @@ def to_block_major(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
-                  hw_k: Tuple[int, int], w_prev: int, rel_pos=None):
+                  hw_k: Tuple[int, int], w_prev: int, rel_pos=None,
+                  need_topk: bool = True):
     """One fine level of QTAttB (reference: quadtree_attention.py:180-229).
 
     q: [B, Lq, H, D] current level queries; k/v: [B, Lk, H, D];
     topk_idx_prev: [B, P, K, H] flat indices into the previous coarser grid
     (P == Lq//4). Returns (message[B,P,4,H,D], topk_score, topk_idx) where the
-    top-k outputs are un-blocked to [B, Lq, k_new, H].
+    top-k outputs are un-blocked to [B, Lq, k_new, H]; with need_topk=False
+    (the finest level — qtatt_b never consumes its top-k) the top-k outputs
+    are None and the work is skipped.
+
+    On TPU (backend 'pallas'/'auto') the rel_pos-free FINEST level runs the
+    fused masked-flash kernel (K1 + softmax + K2 in one Pallas call — see
+    ops/pallas/quadtree_kernels.py) instead of the descriptor-bound gathers.
+    Intermediate levels keep the gather path: they need the top-k over
+    candidates, and the kernel's iterative in-VMEM extraction is slower there
+    than the (small-level) gathers (v5e, 704^2: 6.5 vs 0.25 ms fwd at the
+    44^2 level, while the kernel wins 2.8 vs 9.0 ms at the 88^2 level).  Set
+    CASMTR_PALLAS_FINE_TOPK=1 to force the kernel on top-k levels too.
     """
     h0, w0 = hw_q
     h1, w1 = hw_k
     B, _, H, D = q.shape
     K_prev = topk_idx_prev.shape[2]
+
+    if rel_pos is None:
+        import os
+        from casmtr_tpu.ops.gather_ops import use_pallas_fine
+        force_topk = os.environ.get("CASMTR_PALLAS_FINE_TOPK", "0") == "1"
+        if use_pallas_fine() and (not need_topk or force_topk):
+            from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
+            msg, ts, ti = masked_fine_level(
+                q, k, v, topk_idx_prev, (h0, w0), (h1, w1),
+                topk=topk if need_topk else 0)
+            return None, msg, ts, ti
 
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
 
@@ -196,6 +219,8 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
     A6 = A.reshape(B, P, 4, H, K_prev, 4)
     message = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
                          preferred_element_type=jnp.float32)
+    if not need_topk:
+        return A, message, None, None
 
     topk_score, topk_local = exact_topk(A, topk)          # [B, P, 4, H, k]
     # map window-local candidate ids to global child indices (child j of
@@ -275,7 +300,8 @@ def qtatt_b(queries: Sequence[jnp.ndarray], keys: Sequence[jnp.ndarray],
             topk_prev = topk
             topk = topks[i]
             _, msg, _, topk_idx = _fine_level_b(
-                q, k, v, topk_idx, topk, (h, w), (h, w), w_prev, rel_pos=rp)
+                q, k, v, topk_idx, topk, (h, w), (h, w), w_prev, rel_pos=rp,
+                need_topk=(i < n_levels - 1))
             parent_hw.append(sizes[li + 1])
         messages.append(msg)
 
@@ -378,7 +404,8 @@ def qtatt_guided(queries, keys, values, sizes, topks, merge_weight,
         # Parent grid of the coarsest level is the (2x coarser) virtual grid.
         w_prev = sizes[li + 1][1] if li + 1 < n_levels else w // 2
         _, msg, _, topk_idx = _fine_level_b(
-            q, k, v, topk_idx, topk, (h, w), (h, w), w_prev)
+            q, k, v, topk_idx, topk, (h, w), (h, w), w_prev,
+            need_topk=(i < n_levels - 1))
         parent_hw.append((h // 2, w // 2))
         messages.append(msg)
 

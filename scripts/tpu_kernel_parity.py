@@ -1,0 +1,122 @@
+"""TPU validation of the masked-flash quadtree kernel: compiled-mode parity
+vs the jnp gather oracle at production sizes, plus honest chained timings
+(fwd and fwd+bwd) for both paths at the 704^2 level geometries."""
+
+import functools
+import os
+import sys
+import time
+
+# NOTE: do NOT launch with PYTHONPATH=/root/repo — it breaks the axon TPU
+# plugin registration in sitecustomize.  Insert the repo path here instead.
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import jax.numpy as jnp
+import numpy as np
+
+from casmtr_tpu.ops import quadtree as qt
+from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
+from tests.test_pallas_quadtree import _oracle, _rand_case  # noqa: E402
+
+N = 10
+RELAY_S = 0.028
+
+
+def bench(name, fn, *args):
+    f = jax.jit(fn)
+    out = f(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].sum())
+    t0 = time.perf_counter()
+    out = f(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].sum())
+    dt = (time.perf_counter() - t0 - RELAY_S) / N
+    print(f"{name}: {dt*1000:.2f} ms/op   (chk {s:.4g})", flush=True)
+    return dt
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+
+    # ---- compiled parity (f32, level-1-like geometry with topk) ----
+    # HIGHEST matmul precision isolates math parity from the TPU default
+    # bf16-pass rounding (which differs between the dense-kernel and gather
+    # contraction shapes; at default precision msg err is ~4e-3 on both).
+    case = _rand_case(rng, B=1, H=8, D=32, h0=44, w0=44, h1=44, w1=44, K=16)
+    with jax.default_matmul_precision("highest"):
+        got_m, got_s, got_i = jax.jit(
+            functools.partial(masked_fine_level, topk=8, interpret=False),
+            static_argnums=(4, 5))(*case)
+        want_m, want_s, want_i = jax.jit(functools.partial(_oracle, topk=8),
+                                         static_argnums=(4, 5))(*case)
+    em = float(jnp.abs(got_m - want_m).max())
+    es = float(jnp.abs(got_s - want_s).max())
+    ei = int((got_i != want_i).sum())
+    print(f"parity L1 f32: msg err {em:.3g}, score err {es:.3g}, "
+          f"idx mismatches {ei}", flush=True)
+    assert em < 1e-4 and es < 1e-4 and ei == 0
+
+    # grad parity
+    def loss_k(q, k, v, ids, hw_q, hw_k):
+        m, _, _ = masked_fine_level(q, k, v, ids, hw_q, hw_k, topk=0,
+                                    interpret=False)
+        return jnp.sum(m ** 2)
+
+    def loss_o(q, k, v, ids, hw_q, hw_k):
+        m, _, _ = _oracle(q, k, v, ids, hw_q, hw_k, topk=0)
+        return jnp.sum(m ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)),
+                     static_argnums=(4, 5))(*case)
+        go = jax.jit(jax.grad(loss_o, argnums=(0, 1, 2)),
+                     static_argnums=(4, 5))(*case)
+    for a, b, nm in zip(gk, go, "qkv"):
+        e = float(jnp.abs(a - b).max())
+        r = float(jnp.abs(b).max())
+        print(f"grad d{nm}: abs err {e:.3g} (ref max {r:.3g})", flush=True)
+        assert e < 1e-3 * max(r, 1.0)
+
+    # ---- timings at 704^2 geometries, bf16 tables (model dtype) ----
+    for (hw, K_prev, topk, tag) in [((88, 88), 16, 0, "L2"),
+                                    ((44, 44), 32, 16, "L1")]:
+        h, w = hw
+        case = _rand_case(rng, B=1, H=8, D=32, h0=h, w0=w, h1=h, w1=w,
+                          K=K_prev)
+        q, k, v, ids, hw_q, hw_k = case
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+        def chain_fwd(impl, q0):
+            def body(c, _):
+                m, _, _2 = impl(c, k, v, ids, hw_q, hw_k)
+                return c + 1e-12 * m.mean().astype(c.dtype), ()
+            return jax.lax.scan(body, q0, None, length=N)[0]
+
+        def chain_grad(impl, q0):
+            def one(qq):
+                m, _, _2 = impl(qq, k, v, ids, hw_q, hw_k)
+                return jnp.sum(m ** 2)
+            def body(c, _):
+                g = jax.grad(one)(c)
+                return c + 1e-12 * g, ()
+            return jax.lax.scan(body, q0, None, length=N)[0]
+
+        kern = functools.partial(masked_fine_level, topk=topk,
+                                 interpret=False)
+        orac = functools.partial(_oracle, topk=topk)
+        bench(f"{tag} kernel fwd", functools.partial(chain_fwd, kern), q)
+        bench(f"{tag} gather fwd", functools.partial(chain_fwd, orac), q)
+        bench(f"{tag} kernel fwd+bwd", functools.partial(chain_grad, kern), q)
+        bench(f"{tag} gather fwd+bwd", functools.partial(chain_grad, orac), q)
+
+    print("ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
