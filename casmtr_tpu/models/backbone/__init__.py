@@ -6,7 +6,10 @@ from casmtr_tpu.models.backbone.resnet_fpn import (
 
 def build_backbone(config):
     """config: LoftrConfig. Returns a flax module producing the pyramid
-    [1/8, (1/4,), 1/2] features, finest last."""
+    [1/8, (1/4,), 1/2] features, finest last.
+
+    The module is named "backbone" so flax param paths line up with the
+    reference's ``backbone.*`` state-dict keys (cascade_model_stage3.py:87)."""
     bb = config.backbone
     btype = bb.backbone_type
     res = tuple(config.resolution)
@@ -14,15 +17,16 @@ def build_backbone(config):
         if res == (8, 2):
             return ResNetFPN_8_2(initial_dim=bb.initial_dim,
                                  block_dims=tuple(bb.block_dims),
-                                 is_rgb=config.is_rgb)
+                                 is_rgb=config.is_rgb, name="backbone")
         if res == (8, 4, 2):
             return ResNetFPN_8_4_2(initial_dim=bb.initial_dim,
                                    block_dims=tuple(bb.block_dims),
-                                   is_rgb=config.is_rgb)
+                                   is_rgb=config.is_rgb, name="backbone")
         raise ValueError(f"unsupported resolution {res} for ResNetFPN")
     if btype == "Twins":
         from casmtr_tpu.models.backbone.twins import TwinsFPN_8_4_2
         return TwinsFPN_8_4_2(initial_dim=bb.initial_dim,
                               block_dims=tuple(bb.block_dims),
-                              model_type=bb.model_type or "large")
+                              model_type=bb.model_type or "large",
+                              name="backbone")
     raise ValueError(f"unknown backbone {btype}")

@@ -46,7 +46,8 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.patch_size
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="proj")(x)
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    name="proj")(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         # torch nn.LayerNorm default eps (gvt.py:272 doesn't override it)

@@ -111,9 +111,11 @@ class Attention(nn.Module):
                      name="q")(x).reshape(B, N, self.num_heads, hd)
         if self.sr_ratio > 1:
             xi = x.reshape(B, h, w, C)
+            # VALID: torch Conv2d(k=sr, stride=sr, padding=0) floors the grid
+            # (flax default SAME would ceil and zero-pad the tail)
             xi = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                          strides=(self.sr_ratio, self.sr_ratio),
-                         name="sr")(xi)
+                         padding="VALID", name="sr")(xi)
             xi = xi.reshape(B, -1, C)
             xi = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(xi)
         else:
