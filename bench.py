@@ -33,6 +33,9 @@ def main():
     p.add_argument("--size", type=int, default=704)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--backbone", choices=["twins", "resnet"], default="twins",
+                   help="twins = the released outdoor 4c recipe (headline); "
+                        "resnet = lighter comparison variant")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -40,7 +43,7 @@ def main():
     from casmtr_tpu.train.train_step import init_train_state, make_train_step
 
     size = args.size
-    cfg = _flagship_cfg(train_size=size)
+    cfg = _flagship_cfg(train_size=size, backbone=args.backbone)
     # remat off: at batch 1 / 704^2 the bf16 fused-gather activations fit in
     # HBM, and skipping the recompute is ~15% faster (0.74 vs 0.86 s/step)
     from casmtr_tpu.config import override
@@ -88,8 +91,10 @@ def main():
     _ = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.iters
 
+    metric = ("casmtr4c_twins_train_step_704" if args.backbone == "twins"
+              else "casmtr4c_train_step_704")
     print(json.dumps({
-        "metric": "casmtr4c_train_step_704",
+        "metric": metric,
         "value": round(dt, 4),
         "unit": "s/step",
         "vs_baseline": round(BASELINE_S_PER_STEP / dt, 2),

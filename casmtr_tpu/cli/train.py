@@ -21,8 +21,10 @@ from casmtr_tpu.data.module import MultiSceneDataModule
 from casmtr_tpu.models import build_model
 from casmtr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
 from casmtr_tpu.train.checkpoints import CheckpointManager, load_into_state
-from casmtr_tpu.train.optim import scaled_lr
-from casmtr_tpu.train.train_step import init_train_state, make_train_step
+from casmtr_tpu.train.optim import (build_optimizer, new_stage_labels,
+                                    scaled_lr, set_schedule_step)
+from casmtr_tpu.train.train_step import TrainState, init_train_state, \
+    make_train_step
 from casmtr_tpu.utils import metrics as M
 
 
@@ -61,6 +63,62 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200):
     return M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)
 
 
+def resume_state(cfg: Config, state, tx, restored, base_lr: float,
+                 steps_per_epoch: int, reset_lr: bool = False,
+                 resume_dir: Optional[str] = None):
+    """Stage-aware resume (reference lightning_cascade.py:127-189).
+
+    * params/batch_stats merge non-strictly: modules added by a later stage
+      keep their fresh init;
+    * new-stage params (absent from the checkpoint) get their own optimizer
+      group with a separate warmup starting at the restored step
+      (reference :175-181);
+    * without --reset-lr, the checkpointed run's LR/schedule config
+      (config.json next to the ckpts dir) is kept; with --reset-lr the
+      CURRENT config's schedule takes over (reference :127-159);
+    * the optimizer inner state is restored when the tree matches exactly
+      (same-stage resume), otherwise re-initialized.
+    Returns (state, tx).
+    """
+    tcfg = cfg.trainer
+    if not reset_lr and resume_dir:
+        old_cfg_path = os.path.join(os.path.dirname(resume_dir.rstrip("/")),
+                                    "config.json")
+        if os.path.exists(old_cfg_path):
+            from casmtr_tpu.config import load as load_cfg
+            old = load_cfg(old_cfg_path)
+            tcfg = old.trainer
+            base_lr = base_lr * (tcfg.canonical_lr / cfg.trainer.canonical_lr
+                                 ) * (cfg.trainer.canonical_bs
+                                      / tcfg.canonical_bs)
+
+    params = load_into_state(restored.get("params"), state.params)
+    bstats = load_into_state(restored.get("batch_stats"), state.batch_stats)
+    rstep = int(np.asarray(restored.get("step", 0)))
+
+    labels = new_stage_labels(params, restored.get("params"))
+    has_new = any(v == "new" for v in jax.tree_util.tree_leaves(labels))
+    if has_new:
+        tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
+                             new_param_labels=labels, restore_step=rstep)
+        opt_state = tx.init(params)
+    else:
+        tx = build_optimizer(tcfg, base_lr, steps_per_epoch)
+        opt_state = tx.init(params)
+        if restored.get("opt_state") is not None:
+            try:
+                from flax import serialization
+                opt_state = serialization.from_state_dict(
+                    opt_state, restored["opt_state"])
+            except Exception:
+                pass  # structure drift: keep the fresh optimizer state
+
+    opt_state = set_schedule_step(opt_state, rstep)
+    ema = params if cfg.trainer.ema else None
+    return TrainState(jnp.asarray(rstep, jnp.int32), params, bstats,
+                      opt_state, ema), tx
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="CasMTR-TPU training")
     p.add_argument("--model", default="outdoor_casmtr_4c")
@@ -78,13 +136,19 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--val-every-epochs", type=int, default=1)
+    p.add_argument("--max-val-pairs", type=int, default=200)
     p.add_argument("--seed", type=int, default=66)
+    p.add_argument("--overrides-json", default=None,
+                   help="inline JSON config overrides (applied last; the "
+                        "reference's trailing `opts` pairs)")
     args = p.parse_args(argv)
 
     overrides = {"trainer": {"seed": args.seed}}
     if args.stage is not None:
         overrides["loftr"] = {"training_stage": args.stage}
     cfg = build_config(args.model, args.data, overrides)
+    if args.overrides_json:
+        cfg = override(cfg, json.loads(args.overrides_json))
 
     os.makedirs(args.run_dir, exist_ok=True)
     dump(cfg, os.path.join(args.run_dir, "config.json"))
@@ -116,8 +180,11 @@ def main(argv=None):
     if args.resume:
         restored = CheckpointManager(args.resume).restore()
         if restored is not None:
-            state = load_into_state(restored, state)
-            print(f"resumed from {args.resume}")
+            state, tx = resume_state(cfg, state, tx, restored, base_lr,
+                                     steps_per_epoch,
+                                     reset_lr=args.reset_lr,
+                                     resume_dir=args.resume)
+            print(f"resumed from {args.resume} at step {int(state.step)}")
 
     if mesh is not None:
         state = replicate_state(state, mesh)
@@ -148,7 +215,8 @@ def main(argv=None):
                          "batch_stats": jax.device_get(state.batch_stats)}
             if cfg.trainer.test_ema and state.ema_params is not None:
                 variables["params"] = jax.device_get(state.ema_params)
-            results = run_validation(cfg, model, variables, val_loader)
+            results = run_validation(cfg, model, variables, val_loader,
+                                     max_pairs=args.max_val_pairs)
             tb.scalars({f"val/{k}": float(v) for k, v in results.items()},
                        int(jax.device_get(state.step)))
             tb.flush()

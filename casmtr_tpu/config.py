@@ -317,5 +317,13 @@ def dump(cfg, path: str):
         json.dump(to_dict(cfg), f, indent=2, default=str)
 
 
+def load(path: str) -> Config:
+    """Load a config dumped by ``dump`` (used by stage resume to recover the
+    checkpointed run's trainer/schedule settings)."""
+    with open(path) as f:
+        d = json.load(f)
+    return override(Config(), d)
+
+
 def get_cfg_defaults() -> Config:
     return Config()

@@ -62,27 +62,108 @@ def _is_vit_path(path) -> bool:
     return any("vit" in str(getattr(k, "key", k)).lower() for k in path)
 
 
-def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int):
+def new_stage_labels(params, restored_params):
+    """Per-leaf 'new' / 'old' labels: a param is NEW when it has no
+    counterpart in the restored checkpoint tree (a module added by a later
+    training stage).  This is the functional equivalent of the reference's
+    per-layer groups excluding '8c'/'backbone' (lightning_cascade.py:177-181
+    — at a stage-k resume exactly the new-stage modules are absent from the
+    stage-(k-1) checkpoint)."""
+    def walk(tree, res):
+        if isinstance(tree, dict):
+            return {k: walk(v, res.get(k) if isinstance(res, dict) else None)
+                    for k, v in tree.items()}
+        return "old" if res is not None else "new"
+
+    return walk(params, restored_params if restored_params is not None else {})
+
+
+def stage_warmup_schedule(schedule, tcfg: TrainerConfig, restore_step: int):
+    """Wrap a base LR schedule with the new-stage warmup
+    (reference lightning_cascade.py:175-181): for ``warmup_step_stages``
+    steps after the restore point, the new modules ramp linearly from
+    ``warmup_ratio_stages * base/2`` to ``base/2`` (the reference halves the
+    base LR for new stages), then rejoin the main schedule."""
+    wss = tcfg.warmup_step_stages
+
+    def staged(step):
+        step = jnp.asarray(step, jnp.float32)
+        base = schedule(step)
+        init = base * 0.5
+        w0 = tcfg.warmup_ratio_stages * init
+        t = (step - restore_step) / max(wss, 1)
+        warm = w0 + t * jnp.abs(init - w0)
+        in_warm = jnp.logical_and(step >= restore_step,
+                                  step < restore_step + wss)
+        return jnp.where(in_warm, warm, base)
+
+    return staged
+
+
+def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
+                    new_param_labels=None, restore_step: int = 0):
     """AdamW with per-group ViT LR scale (reference src/optimizers/:14-24)
-    and gradient clipping (reference train gradient_clip_val)."""
+    and gradient clipping (reference train gradient_clip_val).
+
+    With ``new_param_labels`` (an 'old'/'new' tree from new_stage_labels),
+    the NEW params get the separate stage warmup
+    (lightning_cascade.py:175-181) starting at ``restore_step``."""
     schedule = build_lr_schedule(tcfg, base_lr, steps_per_epoch)
     wd = tcfg.adamw_decay if tcfg.optimizer == "adamw" else tcfg.adam_decay
 
-    def make(scale):
+    def make(scale, sched):
         return optax.chain(
             optax.clip_by_global_norm(tcfg.gradient_clipping),
             optax.scale_by_adam(),
             optax.add_decayed_weights(wd),
             optax.scale_by_learning_rate(
-                lambda s: schedule(s) * scale),
+                lambda s: sched(s) * scale),
         )
 
+    staged = (stage_warmup_schedule(schedule, tcfg, restore_step)
+              if new_param_labels is not None else schedule)
+
     def label_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "vit" if _is_vit_path(path) else "main", params)
+        def leaf_label(path, _):
+            if _is_vit_path(path):
+                return "vit"
+            if new_param_labels is not None:
+                node = new_param_labels
+                for k in path:
+                    key = getattr(k, "key", k)
+                    if not isinstance(node, dict) or key not in node:
+                        return "main"
+                    node = node[key]
+                if node == "new":
+                    return "new"
+            return "main"
+
+        return jax.tree_util.tree_map_with_path(leaf_label, params)
 
     return optax.multi_transform(
-        {"main": make(1.0), "vit": make(tcfg.vit_lr_scale)}, label_fn)
+        {"main": make(1.0, schedule), "vit": make(tcfg.vit_lr_scale, schedule),
+         "new": make(1.0, staged)}, label_fn)
+
+
+def set_schedule_step(opt_state, step: int):
+    """Fast-forward every schedule counter inside an optax state to ``step``.
+
+    optax's ScaleByScheduleState count starts at 0 on ``tx.init``; after a
+    checkpoint resume the LR schedule must continue from the restored global
+    step (otherwise the run re-enters warmup)."""
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, jnp.int32))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(fix(x) for x in node))
+        if isinstance(node, (list, tuple)):
+            return type(node)(fix(x) for x in node)
+        if isinstance(node, dict):
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(opt_state)
 
 
 def ema_beta_at(step, tcfg: TrainerConfig):

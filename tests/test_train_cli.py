@@ -1,0 +1,212 @@
+"""End-to-end tests of the training CLI (cli/train.py main()) and the
+stage-resume LR machinery (reference train.py:72-155,
+lightning_cascade.py:127-189)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+h5py = pytest.importorskip("h5py")
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_data_layer import make_fake_scene
+
+
+def _tiny_overrides(data_dir, n_samples=8):
+    # n_samples_per_subset * 2 scenes must cover one global batch on the
+    # 8-device virtual mesh (conftest) with drop_last=True
+    return {
+        "loftr": {
+            "backbone": {"backbone_type": "ResNetFPN", "initial_dim": 8,
+                         "block_dims": [8, 12, 16]},
+            "coarse": {"d_model": 16, "nhead": 2, "topks": [4, 4, 4],
+                       "layer_names": ["self", "cross"]},
+            "coarse2": {"d_model": 12, "nhead": 2, "window_size": 3,
+                        "attn_window_size": 3,
+                        "layer_names": ["cross", "self", "cross"]},
+            "fine": {"d_model": 8, "nhead": 2},
+            "match_coarse": {"max_matches": 16},
+            "match_cascade": {"train_pad_num_gt_min": [16],
+                              "max_matches": [32]},
+            "train_size": 64,
+        },
+        "dataset": {
+            "trainval_data_source": "MegaDepth",
+            "train_data_root": data_dir, "train_npz_root": data_dir,
+            "train_list_path": os.path.join(data_dir, "train_list.txt"),
+            "val_data_root": data_dir, "val_npz_root": data_dir,
+            "val_list_path": os.path.join(data_dir, "val_list.txt"),
+            "min_overlap_score_train": 0.0, "min_overlap_score_test": 0.0,
+            "mgdpt_img_resize": 64, "mgdpt_df": 32,
+        },
+        "trainer": {"n_samples_per_subset": n_samples, "warmup_step": 2,
+                    "canonical_bs": 1, "canonical_lr": 1e-4},
+    }
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scenes")
+    make_fake_scene(d, scene_id="0000", n_images=4, n_pairs=4)
+    make_fake_scene(d, scene_id="0001", n_images=4, n_pairs=4)
+    (d / "train_list.txt").write_text("0000\n0001\n")
+    (d / "val_list.txt").write_text("0001\n")
+    return str(d)
+
+
+def test_train_cli_end_to_end_and_stage_resume(scene_dir, tmp_path):
+    """main() runs: TB scalars written, validation runs, top-k checkpoint
+    saved; a stage-2 resume restores stage-1 params, keeps fresh init for the
+    new modules, and continues from the restored step (this is the test that
+    would have caught the round-1 dead --reset-lr flag and the
+    dict-vs-TrainState resume bug)."""
+    from casmtr_tpu.cli.train import main
+
+    run1 = str(tmp_path / "run1")
+    args = ["--model", "outdoor_casmtr_4c", "--run-dir", run1,
+            "--epochs", "1", "--stage", "1", "--num-workers", "0",
+            "--log-every", "1", "--max-val-pairs", "2",
+            "--overrides-json", json.dumps(_tiny_overrides(scene_dir))]
+    main(args)
+
+    assert os.path.exists(os.path.join(run1, "config.json"))
+    tb_files = os.listdir(os.path.join(run1, "tb"))
+    assert any("tfevents" in f for f in tb_files), tb_files
+    ckpts = os.listdir(os.path.join(run1, "ckpts"))
+    assert ckpts, "no checkpoint saved"
+
+    # stage-2 resume into a bigger model
+    run2 = str(tmp_path / "run2")
+    args2 = ["--model", "outdoor_casmtr_4c", "--run-dir", run2,
+             "--epochs", "1", "--stage", "2", "--num-workers", "0",
+             "--log-every", "1", "--max-val-pairs", "2",
+             "--resume", os.path.join(run1, "ckpts"),
+             "--overrides-json", json.dumps(_tiny_overrides(scene_dir))]
+    main(args2)
+    assert os.listdir(os.path.join(run2, "ckpts"))
+
+
+def _const_lr_tcfg(**kw):
+    from casmtr_tpu.config import TrainerConfig
+    import dataclasses
+    base = TrainerConfig(scheduler="MultiStepLR", mslr_milestones=(),
+                         warmup_step=0, adamw_decay=0.0,
+                         gradient_clipping=1e9)
+    return dataclasses.replace(base, **kw)
+
+
+def test_stage_warmup_schedule():
+    """New-stage warmup ramps from ratio*base/2 to base/2 over
+    warmup_step_stages, then rejoins the base schedule
+    (reference lightning_cascade.py:175-181)."""
+    from casmtr_tpu.train.optim import (build_lr_schedule,
+                                        stage_warmup_schedule)
+
+    tcfg = _const_lr_tcfg(warmup_step_stages=10, warmup_ratio_stages=0.1)
+    base = build_lr_schedule(tcfg, 1e-3, steps_per_epoch=100)
+    staged = stage_warmup_schedule(base, tcfg, restore_step=100)
+    # before the restore point: base schedule
+    np.testing.assert_allclose(float(staged(50)), 1e-3, rtol=1e-6)
+    # at the restore point: ratio * base/2
+    np.testing.assert_allclose(float(staged(100)), 0.1 * 5e-4, rtol=1e-5)
+    # mid-ramp
+    np.testing.assert_allclose(float(staged(105)),
+                               0.1 * 5e-4 + 0.5 * (5e-4 - 0.1 * 5e-4),
+                               rtol=1e-5)
+    # after the ramp: full base LR again
+    np.testing.assert_allclose(float(staged(110)), 1e-3, rtol=1e-6)
+
+
+def test_new_stage_optimizer_groups():
+    """Params absent from the restored checkpoint follow the staged warmup
+    while old params keep the base LR (observed through adam update
+    magnitudes on constant gradients with zero weight decay)."""
+    import optax
+    from casmtr_tpu.train.optim import (build_optimizer, new_stage_labels,
+                                        set_schedule_step)
+
+    tcfg = _const_lr_tcfg(warmup_step_stages=10, warmup_ratio_stages=0.1)
+    params = {"loftr_coarse_8c": {"w": jnp.zeros(3)},
+              "loftr_coarse_4c": {"w": jnp.zeros(3)}}
+    restored = {"loftr_coarse_8c": {"w": np.zeros(3)}}
+    labels = new_stage_labels(params, restored)
+    assert labels == {"loftr_coarse_8c": {"w": "old"},
+                      "loftr_coarse_4c": {"w": "new"}}
+
+    base_lr = 1e-3
+    tx = build_optimizer(tcfg, base_lr, steps_per_epoch=100,
+                         new_param_labels=labels, restore_step=100)
+    opt_state = set_schedule_step(tx.init(params), 100)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # adam on constant grads (zero wd): |update| == lr
+    old_lr = float(jnp.abs(updates["loftr_coarse_8c"]["w"][0]))
+    new_lr = float(jnp.abs(updates["loftr_coarse_4c"]["w"][0]))
+    np.testing.assert_allclose(old_lr, base_lr, rtol=1e-4)
+    np.testing.assert_allclose(new_lr, 0.1 * base_lr / 2, rtol=1e-4)
+
+
+def test_set_schedule_step_continues_schedule():
+    """After a resume the schedule counter continues from the restored step
+    (a fresh optax init would re-enter warmup)."""
+    from casmtr_tpu.train.optim import build_optimizer, set_schedule_step
+
+    tcfg = _const_lr_tcfg(warmup_step=100, warmup_ratio=0.0)
+    params = {"m": {"w": jnp.zeros(2)}}
+    tx = build_optimizer(tcfg, 1e-3, steps_per_epoch=50)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    fresh = tx.init(params)
+    up_fresh, _ = tx.update(grads, fresh, params)      # count 0 -> warmup lr
+    ff = set_schedule_step(tx.init(params), 500)
+    up_ff, _ = tx.update(grads, ff, params)            # count 500 -> full lr
+    assert float(jnp.abs(up_fresh["m"]["w"][0])) < 1e-6
+    np.testing.assert_allclose(float(jnp.abs(up_ff["m"]["w"][0])), 1e-3,
+                               rtol=1e-4)
+
+
+def test_reset_lr_flag_switches_schedule_config(tmp_path):
+    """Without --reset-lr a resume keeps the checkpointed run's LR config
+    (config.json next to the ckpt dir); with --reset-lr the current config
+    wins (reference lightning_cascade.py:127-159)."""
+    import dataclasses
+    from casmtr_tpu.cli.train import resume_state
+    from casmtr_tpu.config import Config, dump
+    from casmtr_tpu.train.optim import build_optimizer
+    from casmtr_tpu.train.train_step import TrainState
+
+    old_tcfg = _const_lr_tcfg(canonical_lr=4e-3, canonical_bs=1)
+    new_tcfg = _const_lr_tcfg(canonical_lr=8e-3, canonical_bs=1)
+    run = tmp_path / "old_run"
+    (run / "ckpts").mkdir(parents=True)
+    dump(dataclasses.replace(Config(), trainer=old_tcfg),
+         str(run / "config.json"))
+
+    params = {"m": {"w": jnp.zeros(2)}}
+    cfg = dataclasses.replace(Config(), trainer=new_tcfg)
+    tx = build_optimizer(new_tcfg, 8e-3, 100)
+    state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params))
+    restored = {"params": {"m": {"w": np.ones(2, np.float32)}},
+                "step": np.int64(7)}
+
+    def lr_of(state2, tx2):
+        grads = jax.tree_util.tree_map(jnp.ones_like, state2.params)
+        up, _ = tx2.update(grads, state2.opt_state, state2.params)
+        return float(jnp.abs(up["m"]["w"][0]))
+
+    s_keep, tx_keep = resume_state(cfg, state, tx, restored, base_lr=8e-3,
+                                   steps_per_epoch=100, reset_lr=False,
+                                   resume_dir=str(run / "ckpts"))
+    s_new, tx_new = resume_state(cfg, state, tx, restored, base_lr=8e-3,
+                                 steps_per_epoch=100, reset_lr=True,
+                                 resume_dir=str(run / "ckpts"))
+    assert int(s_keep.step) == 7
+    np.testing.assert_array_equal(np.asarray(s_keep.params["m"]["w"]),
+                                  np.ones(2, np.float32))
+    np.testing.assert_allclose(lr_of(s_keep, tx_keep), 4e-3, rtol=1e-4)
+    np.testing.assert_allclose(lr_of(s_new, tx_new), 8e-3, rtol=1e-4)
