@@ -40,8 +40,11 @@ def evaluate_batch_outputs(out_np: Dict, batch: Dict, cfg: Config,
         R_err, t_err, inl = M.compute_pose_errors(
             mk0, mk1, T, K0, K1, pixel_thr=cfg.trainer.ransac_pixel_thr,
             conf=cfg.trainer.ransac_conf)
-        metrics["identifiers"].append("#".join(batch["pair_names"][b])
-                                      if "pair_names" in batch else str(b))
+        # fallback id must be unique across the run: dedup in
+        # aggregate_metrics would otherwise collapse distinct pairs
+        metrics["identifiers"].append(
+            "#".join(batch["pair_names"][b]) if "pair_names" in batch
+            else f"pair{len(metrics['identifiers'])}")
         metrics["epi_errs"].append(epi)
         metrics["R_errs"].append(R_err)
         metrics["t_errs"].append(t_err)
@@ -88,6 +91,9 @@ def run_eval(cfg: Config, params, dataset=None, max_pairs: Optional[int] = None,
         if max_pairs is not None and n >= max_pairs:
             break
 
+    # multi-host: concatenate every process's pairs before aggregation
+    # (reference lightning_cascade.py:310-348)
+    metrics = M.gather_metrics(metrics)
     results = M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)
     if dump_dir is not None:
         os.makedirs(dump_dir, exist_ok=True)

@@ -58,6 +58,7 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200):
         n += batch["K0"].shape[0]
         if n >= max_pairs:
             break
+    metrics = M.gather_metrics(metrics)  # multi-host aggregation
     if not metrics["identifiers"]:
         return {}
     return M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)

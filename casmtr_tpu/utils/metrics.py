@@ -119,10 +119,22 @@ def epidist_prec(errors: Sequence[np.ndarray], thresholds) -> Dict:
     return out
 
 
+def gather_metrics(metrics: Dict) -> Dict:
+    """Concatenate per-pair metric lists from every host (reference
+    lightning_cascade.py:310-348 gather(..) before aggregation). Single
+    process: identity. Dedup happens later in aggregate_metrics."""
+    from casmtr_tpu.parallel import comm
+    gathered = comm.all_gather(metrics)
+    if len(gathered) == 1:
+        return metrics
+    return {k: [x for g in gathered for x in g[k]] for k in metrics}
+
+
 def aggregate_metrics(metrics: Dict, epi_err_thr: float = 5e-4) -> Dict:
     """Dataset-level aggregation with duplicate-pair dedup
     (reference metrics.py:241-261). ``metrics`` holds lists: identifiers,
     R_errs, t_errs, epi_errs (list of per-pair arrays)."""
+    # LAST occurrence wins (reference metrics.py:248 dict overwrite)
     unq = OrderedDict((iden, i)
                       for i, iden in enumerate(metrics["identifiers"]))
     ids = list(unq.values())
