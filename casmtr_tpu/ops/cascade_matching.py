@@ -177,7 +177,15 @@ def cascade_match_mask_test(
         arange = jnp.arange(L0, dtype=jnp.int32)[None]
         back = jnp.take_along_axis(ws.next_idx_c10, ws.next_idx_c01, axis=1)
         mask &= back == arange
-    return mask
+    return keep_at_least_one(mask)
+
+
+def keep_at_least_one(mask: jnp.ndarray) -> jnp.ndarray:
+    """If the whole batch filtered to nothing, force-keep position 0 of every
+    row (reference cascade_matching.py:254-255 '保底一个' — guards the empty
+    fine stage downstream)."""
+    empty = ~jnp.any(mask)
+    return mask.at[:, 0].set(mask[:, 0] | empty)
 
 
 def cascade_match_mask_train(ws: WindowSoftmaxResult, thr: float,
@@ -185,8 +193,10 @@ def cascade_match_mask_train(ws: WindowSoftmaxResult, thr: float,
     """Training-time thresholding (reference cascade_matching.py:186-190):
     confidences above uniform (1/Kw) when thr > 0, else above thr."""
     if thr > 0:
-        return ws.next_conf_c01 > (1.0 / n_cands)
-    return ws.next_conf_c01 > thr
+        mask = ws.next_conf_c01 > (1.0 / n_cands)
+    else:
+        mask = ws.next_conf_c01 > thr
+    return keep_at_least_one(mask)
 
 
 def extract_cascade_matches(ws: WindowSoftmaxResult, mask: jnp.ndarray,

@@ -377,3 +377,101 @@ def test_ref_full_tree_indoor_4c():
                         "indoor_casmtr_4c",
                         {"loftr": {"backbone": {"initial_dim": 64,
                                                 "block_dims": [64, 128, 256]}}})
+
+
+def test_ref_full_model_forward_parity(rng):
+    """THE system test-in-lieu-of-released-checkpoints: the reference's
+    complete CasMTR-4c (Twins-large recipe, torch, CPU, eval mode) and our
+    flax model produce the same outputs from the same randomly-initialized
+    weights after conversion — coarse dual-softmax confidences, coarse
+    mutual-NN match set, cascade window confidences and candidate indices,
+    and the final fine-refined keypoints.
+
+    When the released checkpoints become obtainable this same path (convert ->
+    forward -> compare) runs AUC parity; until then random weights exercise
+    every numerical branch end-to-end (reference cascade_model_stage3.py
+    forward :104-181)."""
+    import jax
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage3.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage3 import CasMTR as RefCasMTR
+    ref = RefCasMTR(config=cfg_ref["loftr"]).eval()
+    _randomize_bn(ref)
+
+    img0 = rng.random((1, 3, 224, 224)).astype(np.float32)
+    img1 = rng.random((1, 3, 224, 224)).astype(np.float32)
+    data = {"image0": torch.from_numpy(img0), "image1": torch.from_numpy(img1)}
+    with torch.no_grad():
+        ref(data)
+
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr import CasMTR
+
+    cfg = build_config("outdoor_casmtr_4c")
+    model = CasMTR(cfg.loftr)
+    batch = {"image0": _to_jax_nhwc(img0), "image1": _to_jax_nhwc(img1)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(_REF_DEAD_PREFIXES)}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+    out = model.apply(new_vars, batch, train=False)
+
+    # ---- 1/8 coarse stage ----
+    s8 = data["stage_8c"]
+    # ~0.5% relative drift accumulates through the 14M-param backbone +
+    # 6 transformer layers; the sharp signals are the exact index/set checks
+    np.testing.assert_allclose(np.asarray(out.coarse.conf_matrix),
+                               s8["conf_matrix"].numpy(),
+                               rtol=2e-2, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out.coarse.next_idx_c01),
+                                  s8["next_idx_c01"].numpy())
+    np.testing.assert_array_equal(np.asarray(out.coarse.next_idx_c10),
+                                  s8["next_idx_c10"].numpy())
+    want8 = set(zip(s8["b_ids"].numpy().tolist(),
+                    s8["i_ids"].numpy().tolist(),
+                    s8["j_ids"].numpy().tolist()))
+    mc = out.coarse.matches
+    valid = np.asarray(mc.valid)
+    got8 = set(zip(np.asarray(mc.b_ids)[valid].tolist(),
+                   np.asarray(mc.i_ids)[valid].tolist(),
+                   np.asarray(mc.j_ids)[valid].tolist()))
+    assert got8 == want8
+
+    # ---- 1/4 cascade stage ----
+    s4 = data["stage_4c"]
+    c4 = out.cascades["4c"]
+    np.testing.assert_array_equal(np.asarray(c4.idx_c01),
+                                  s4["idx_c01"].numpy())
+    np.testing.assert_allclose(np.asarray(c4.conf_matrix),
+                               s4["conf_matrix"].numpy(),
+                               rtol=2e-2, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c4.next_idx_c01),
+                                  s4["next_idx_c01"].numpy())
+    m4 = c4.matches
+    v4 = np.asarray(m4.valid)
+    got4 = set(zip(np.asarray(m4.b_ids)[v4].tolist(),
+                   np.asarray(m4.i_ids)[v4].tolist(),
+                   np.asarray(m4.j_ids)[v4].tolist()))
+    want4 = set(zip(s4["b_ids"].numpy().tolist(),
+                    s4["i_ids"].numpy().tolist(),
+                    s4["j_ids"].numpy().tolist()))
+    assert got4 == want4
+
+    # ---- final fine-refined keypoints ----
+    fm = out.final_matches
+    vf = np.asarray(fm.valid)
+    got_k0 = np.asarray(fm.mkpts0)[vf]
+    got_k1 = np.asarray(fm.mkpts1)[vf]
+    want_k0 = data["mkpts0_f"].numpy()
+    want_k1 = data["mkpts1_f"].numpy()
+    assert got_k0.shape == want_k0.shape
+    order_g = np.lexsort(got_k0.T)
+    order_w = np.lexsort(want_k0.T)
+    np.testing.assert_allclose(got_k0[order_g], want_k0[order_w],
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(got_k1[order_g], want_k1[order_w],
+                               rtol=1e-3, atol=5e-2)
