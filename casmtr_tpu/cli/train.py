@@ -38,7 +38,11 @@ def device_batch(batch, mesh=None):
     return db
 
 
-def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200):
+def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
+                   tb=None, step: int = 0, plot_every: int = 32):
+    """Validation pass; with ``tb`` also logs match figures every
+    ``plot_every`` pairs (reference lightning_cascade.py:300-343
+    val_match figures + make_matching_figures)."""
     from casmtr_tpu.cli.evaluate import evaluate_batch_outputs
 
     @jax.jit
@@ -55,6 +59,18 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200):
         out = forward(variables, device_batch(batch))
         out_np = {k: np.asarray(v) for k, v in out.items()}
         evaluate_batch_outputs(out_np, batch, cfg, metrics)
+        if tb is not None and (n % plot_every) == 0 and metrics["epi_errs"]:
+            from casmtr_tpu.utils.plotting import make_evaluation_figure
+            sel = out_np["valid"] & (out_np["b_ids"] == 0)
+            fig = make_evaluation_figure(
+                np.asarray(batch["image0"][0]).mean(-1),
+                np.asarray(batch["image1"][0]).mean(-1),
+                out_np["mkpts0"][sel], out_np["mkpts1"][sel],
+                metrics["epi_errs"][-batch["K0"].shape[0]],
+                cfg.trainer.epi_err_thr)
+            tb.figure(f"val_match/pair-{n}", fig, step)
+            import matplotlib.pyplot as plt
+            plt.close(fig)
         n += batch["K0"].shape[0]
         if n >= max_pairs:
             break
@@ -217,7 +233,8 @@ def main(argv=None):
             if cfg.trainer.test_ema and state.ema_params is not None:
                 variables["params"] = jax.device_get(state.ema_params)
             results = run_validation(cfg, model, variables, val_loader,
-                                     max_pairs=args.max_val_pairs)
+                                     max_pairs=args.max_val_pairs, tb=tb,
+                                     step=int(jax.device_get(state.step)))
             tb.scalars({f"val/{k}": float(v) for k, v in results.items()},
                        int(jax.device_get(state.step)))
             tb.flush()

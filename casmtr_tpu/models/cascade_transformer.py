@@ -86,8 +86,7 @@ class CascadeQuadtreeAttention(nn.Module):
     dilated: int = 1
 
     @nn.compact
-    def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None,
-                 corners=None):
+    def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
         B, L, C = x.shape
         D = self.dim // self.num_heads
         q = nn.Dense(self.dim, use_bias=False, name="q_proj")(x)
@@ -101,8 +100,7 @@ class CascadeQuadtreeAttention(nn.Module):
         k = k.astype(cdt).reshape(B, -1, self.num_heads, D)
         v = v.astype(cdt).reshape(B, -1, self.num_heads, D)
         msg, up_idx = cascade_qtatt_b(q, k, v, idx, hw_x, hw_t,
-                                      dilated=self.dilated, rel_pos=rel_pos,
-                                      corners=corners)
+                                      dilated=self.dilated, rel_pos=rel_pos)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)
         return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg), up_idx
 
@@ -116,12 +114,11 @@ class CascadeQuadtreeBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None,
-                 corners=None):
+    def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         y, up_idx = CascadeQuadtreeAttention(
             self.dim, self.num_heads, self.dilated, name="attn")(
-                norm1(x), norm1(target), hw_x, hw_t, idx, rel_pos, corners)
+                norm1(x), norm1(target), hw_x, hw_t, idx, rel_pos)
         x = x + y
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
@@ -305,9 +302,9 @@ class CascadeFeatureTransformer(nn.Module):
             else:
                 (feat0, idx_c01_x2), (feat1, idx_c10_x2) = (
                     layer(feat0, feat1, (H0, W0), (H1, W1), idx_c01_w,
-                          rel_pe_c01, corners01),
+                          rel_pe_c01),
                     layer(feat1, feat0, (H1, W1), (H0, W0), idx_c10_w,
-                          rel_pe_c10, corners10))
+                          rel_pe_c10))
 
         if idx_c01_full is None:
             idx_c01_out = idx_c01_x2

@@ -180,145 +180,3 @@ def window_patch_score_jnp(q_blk, feat1, corners, w: int):
     f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2)
     return jnp.einsum("bpfd,bpkd->bpfk", q_blk.astype(jnp.float32),
                       f1_g.astype(jnp.float32))
-
-
-def _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w: int, n_heads: int,
-                                     interpret: bool = False):
-    """Fused cascade window cross-attention forward.
-
-    Per parent: DMA the (2w x 2w) K and V patches (stored as one fused
-    [H1, W1, 2C] field), compute per-head scores for the 4 child queries,
-    softmax over the 4w^2 candidates, and accumulate the message — nothing
-    but the [B, P, 4, C] messages ever leaves VMEM.
-
-    q_blk: [B, P, 4, C]; kv2d: [B, H1, W1, 2C] ([K || V]); corners: [B, P, 2].
-    Returns message [B, P, 4, C] (candidate enumeration matches
-    cascade_qtatt_b; the softmax is over the patch in candidate order, which
-    equals pixel order up to a permutation — softmax is order-invariant).
-    """
-    B, P, four, C = q_blk.shape
-    assert four == 4 and C % n_heads == 0
-    Dh = C // n_heads
-    _, H1, W1, C2 = kv2d.shape
-    assert C2 == 2 * C
-    size = 2 * w
-    TP = 8
-    scale = Dh ** -0.5
-    P_pad = -(-P // TP) * TP
-    if P_pad != P:
-        q_blk = jnp.pad(q_blk, ((0, 0), (0, P_pad - P), (0, 0), (0, 0)))
-        corners = jnp.pad(corners, ((0, 0), (0, P_pad - P), (0, 0)))
-
-    def kernel(corners_ref, q_ref, k_ref, v_ref, out_ref, kpatch_ref,
-               vpatch_ref, sem_ref):
-        b = pl.program_id(0)
-
-        def dma_k(i):
-            ty = corners_ref[0, i, 0] * 2
-            tx = corners_ref[0, i, 1] * 2
-            return pltpu.make_async_copy(
-                k_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
-                kpatch_ref.at[i], sem_ref.at[2 * i])
-
-        def dma_v(i):
-            ty = corners_ref[0, i, 0] * 2
-            tx = corners_ref[0, i, 1] * 2
-            return pltpu.make_async_copy(
-                v_ref.at[b, pl.ds(ty, size), pl.ds(tx, size), :],
-                vpatch_ref.at[i], sem_ref.at[2 * i + 1])
-
-        for i in range(TP):
-            dma_k(i).start()
-            dma_v(i).start()
-        for i in range(TP):
-            dma_k(i).wait()
-            dma_v(i).wait()
-            kp_all = kpatch_ref[i].reshape(size * size, C)
-            vp_all = vpatch_ref[i].reshape(size * size, C)
-            q = q_ref[0, i]                              # [4, C]
-            # per-head via static lane slices (Mosaic cannot split the lane
-            # dim with a reshape)
-            for h in range(n_heads):
-                kp = kp_all[:, h * Dh:(h + 1) * Dh]      # [(2w)^2, Dh]
-                vp = vp_all[:, h * Dh:(h + 1) * Dh]
-                qh = q[:, h * Dh:(h + 1) * Dh]           # [4, Dh]
-                s = jax.lax.dot_general(
-                    qh, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                a = jax.nn.softmax(s, axis=-1)           # [4, (2w)^2]
-                m = jax.lax.dot_general(
-                    a, vp.astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [4, Dh]
-                out_ref[0, i, :, h * Dh:(h + 1) * Dh] = m
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, P_pad, 4, C), jnp.float32),
-        grid=(B, P_pad // TP),
-        in_specs=[
-            pl.BlockSpec((1, TP, 2), lambda b, p: (b, p, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, TP, 4, C), lambda b, p: (b, p, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((TP, size, size, C), jnp.float32),
-            pltpu.VMEM((TP, size, size, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * TP,)),
-        ],
-        interpret=interpret,
-    )(corners.astype(jnp.int32), q_blk.astype(jnp.float32),
-      kv2d[..., :C], kv2d[..., C:])
-    return out[:, :P]
-
-
-def window_patch_attention_jnp(q_blk, kv2d, corners, w: int, n_heads: int):
-    """jnp oracle of the fused window attention (per-head gather formulation)."""
-    B, P, _, C = q_blk.shape
-    Dh = C // n_heads
-    H1, W1 = kv2d.shape[1:3]
-    idx = _expand_corner_indices(corners, w, W1)            # [B, P, K]
-    kv_flat = kv2d.reshape(B, H1 * W1, 2 * C)
-    g = jnp.take_along_axis(kv_flat[:, None], idx[..., None], axis=2)
-    kp = g[..., :C].reshape(B, P, -1, n_heads, Dh)
-    vp = g[..., C:].reshape(B, P, -1, n_heads, Dh)
-    q = q_blk.reshape(B, P, 4, n_heads, Dh)
-    s = jnp.einsum("bpfhd,bpchd->bpfhc", q.astype(jnp.float32),
-                   kp.astype(jnp.float32)) * (Dh ** -0.5)
-    a = jax.nn.softmax(s, axis=-1)
-    m = jnp.einsum("bpfhc,bpchd->bpfhd", a, vp.astype(jnp.float32))
-    return m.reshape(B, P, 4, C)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def window_patch_attention(q_blk, kv2d, corners, w: int, n_heads: int,
-                           interpret: bool = False):
-    """Fused window cross-attention (Pallas on TPU, oracle elsewhere)."""
-    if not interpret and jax.devices()[0].platform == "tpu":
-        return _window_patch_attention_fwd_impl(q_blk, kv2d, corners, w,
-                                                n_heads, interpret=False)
-    return window_patch_attention_jnp(q_blk, kv2d, corners, w, n_heads)
-
-
-def _att_fwd(q_blk, kv2d, corners, w, n_heads, interpret):
-    out = window_patch_attention(q_blk, kv2d, corners, w, n_heads, interpret)
-    return out, (q_blk, kv2d, corners)
-
-
-def _att_bwd(w, n_heads, interpret, res, g):
-    """Backward via the jnp formulation (transient gathers; the scatter-add
-    into kv2d is the CUDA atomicAdd analogue)."""
-    q_blk, kv2d, corners = res
-    f = lambda q_, kv_: window_patch_attention_jnp(q_, kv_, corners, w,
-                                                   n_heads)
-    _, vjp = jax.vjp(f, q_blk, kv2d)
-    dq, dkv = vjp(g)
-    return dq, dkv, None
-
-
-window_patch_attention.defvjp(_att_fwd, _att_bwd)

@@ -55,6 +55,12 @@ def exact_topk(x: jnp.ndarray, k: int):
     XLA picks pathological layouts for >2D sort/partial-reduce operands
     (20-100x slower); (2) lax.approx_max_k with recall_target=1.0 (the
     PartialReduce path, exact) beats the full sort that lax.top_k lowers to.
+
+    Guarantee (pinned by scripts/tpu_eval_semantics.py on device): the
+    returned VALUES are the exact top-k on every backend; selection among
+    bit-equal scores is unspecified on TPU (CPU lax.top_k picks lowest
+    index first, TPU PartialReduce may not).  Continuous softmax scores
+    never tie, so model eval behavior is device-independent in practice.
     """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -423,8 +429,7 @@ def qtatt_guided(queries, keys, values, sizes, topks, merge_weight,
 
 def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
                     hw_k: Tuple[int, int], dilated: int = 1,
-                    rel_pos: Optional[jnp.ndarray] = None,
-                    corners: Optional[jnp.ndarray] = None):
+                    rel_pos: Optional[jnp.ndarray] = None):
     """CascadeQTAttB: single-level window cross-attention over 2x-upsampled
     positions (reference: quadtree_attention.py:392-452).
 
@@ -442,33 +447,6 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
     h1, w1 = hw_k
     B, Lq, H, D = q.shape
     Kw = topk_pos.shape[2]
-
-    import os
-    use_fused = os.environ.get("CASMTR_FUSED_CASCADE_ATT", "0") == "1"
-    # NOTE: measured on v5e the fused kernel is NOT faster than the
-    # head-shared-gather path (tiny per-head matmuls + doubled patch DMAs
-    # cancel the gather saving), so it is opt-in; it does still avoid the
-    # gathered K/V HBM materialization (memory-constrained configs).
-    if (use_fused and corners is not None and rel_pos is None
-            and dilated == 1):
-        # structured fast path: candidates are a contiguous (2w x 2w) patch
-        # per parent -> fused patch-DMA attention kernel (Pallas on TPU),
-        # no gathered K/V tensors in HBM
-        from casmtr_tpu.ops.pallas.window_kernels import (
-            _expand_corner_indices, window_patch_attention)
-        wp = int(round(Kw ** 0.5))
-        assert wp * wp == Kw
-        C = H * D
-        kv2d = jnp.concatenate([k.reshape(B, h1, w1, C),
-                                v.reshape(B, h1, w1, C)], axis=-1)
-        q_blk = block_children(q.reshape(B, Lq, C), h0, w0)  # [B, P, 4, C]
-        msg = window_patch_attention(q_blk, kv2d, corners, wp, H)
-        msg = unblock_children(msg, h0 // 2, w0 // 2)
-        msg = msg.reshape(B, Lq, H, D)
-        up = _expand_corner_indices(corners, wp, w1)         # [B, P, 4Kw]
-        up = jnp.broadcast_to(up[:, :, None], (B, Lq // 4, 4, 4 * Kw))
-        up_idx = unblock_children(up, h0 // 2, w0 // 2)
-        return msg, up_idx
 
     flat_prev = topk_pos[..., 0] * (w1 // 2) + topk_pos[..., 1]  # [B, P, Kw]
     idx_sh = expand_child_indices(flat_prev[..., None], w1 // 2, w1,

@@ -65,6 +65,11 @@ def make_train_step(model, cfg: Config, tx):
             m1, _ = level_mask(batch["mask1"], h1, w1)
             c_weight = m0[:, :, None] * m1[:, None, :]
         loss, scalars = casmtr_loss(out, gt, expec_gt, lcfg, c_weight=c_weight)
+        # per-level valid match counts (reference lightning_cascade.py:238-240
+        # train/valid_n_{level}c TB scalars)
+        scalars = dict(scalars)
+        for lvl, stage in out.cascades.items():
+            scalars[f"valid_n_{lvl}"] = jnp.sum(stage.matches.valid)
         return loss, (mutated.get("batch_stats", batch_stats), scalars)
 
     def step_fn(state: TrainState, batch: Dict):

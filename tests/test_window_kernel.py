@@ -97,46 +97,3 @@ def test_structured_matches_unstructured_in_matcher(rng):
                                   np.asarray(b.next_idx_c01))
 
 
-def test_cascade_attention_structured_equals_generic(rng, monkeypatch):
-    """cascade_qtatt_b fast path (corners) == generic gather path."""
-    monkeypatch.setenv("CASMTR_FUSED_CASCADE_ATT", "1")
-    import jax.numpy as jnp
-    from casmtr_tpu.models.cascade_transformer import window_warp_idx
-    from casmtr_tpu.ops.propagation import get_propagations
-    from casmtr_tpu.ops.quadtree import cascade_qtatt_b
-
-    B, H, D, w = 1, 2, 8, 3
-    H0 = W0 = 12
-    Lq = H0 * W0
-    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
-    prev_idx = jnp.asarray(rng.integers(0, 36, (B, 36)), dtype=jnp.int32)
-    offsets, _ = get_propagations("window", w)
-    win_pos, _ = window_warp_idx(prev_idx, offsets, 6, 6)
-    corners = win_pos[:, :, 0, :]
-
-    m1, u1 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0))
-    m2, u2 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
-                             corners=corners)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
-
-
-def test_window_patch_attention_pallas_interpret(rng):
-    """The fused attention Pallas kernel (interpret) matches its oracle."""
-    from casmtr_tpu.ops.pallas.window_kernels import (
-        _window_patch_attention_fwd_impl, window_patch_attention_jnp)
-
-    B, C, w, H = 1, 16, 3, 2
-    H1 = W1 = 16
-    P = (H1 // 2) * (W1 // 2)
-    q = jnp.asarray(rng.standard_normal((B, P, 4, C)).astype(np.float32))
-    kv = jnp.asarray(rng.standard_normal((B, H1, W1, 2 * C)).astype(np.float32))
-    corners = jnp.asarray(
-        rng.integers(0, H1 // 2 - w + 1, (B, P, 2)).astype(np.int32))
-    want = np.asarray(window_patch_attention_jnp(q, kv, corners, w, H))
-    got = np.asarray(_window_patch_attention_fwd_impl(q, kv, corners, w, H,
-                                                      interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
