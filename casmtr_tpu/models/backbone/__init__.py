@@ -1,7 +1,7 @@
 """Backbone registry (reference: src/model/backbone/__init__.py:5-19)."""
 
 from casmtr_tpu.models.backbone.resnet_fpn import (
-    ResNetFPN_8_2, ResNetFPN_8_4_2, Ladder_4_2)
+    ResNetFPN_8_2, ResNetFPN_8_4_2, ResNetFPN_16_4, Ladder_4_2)
 
 
 def build_backbone(config):
@@ -22,9 +22,19 @@ def build_backbone(config):
             return ResNetFPN_8_4_2(initial_dim=bb.initial_dim,
                                    block_dims=tuple(bb.block_dims),
                                    is_rgb=config.is_rgb, name="backbone")
+        if res == (16, 4):
+            return ResNetFPN_16_4(initial_dim=bb.initial_dim,
+                                  block_dims=tuple(bb.block_dims),
+                                  is_rgb=config.is_rgb, name="backbone")
         raise ValueError(f"unsupported resolution {res} for ResNetFPN")
     if btype == "Twins":
-        from casmtr_tpu.models.backbone.twins import TwinsFPN_8_4_2
+        from casmtr_tpu.models.backbone.twins import (TwinsFPN_8_4_2,
+                                                      TwinsFPN_16_8_4_2)
+        if res == (16, 8, 4, 2):
+            return TwinsFPN_16_8_4_2(initial_dim=bb.initial_dim,
+                                     block_dims=tuple(bb.block_dims),
+                                     model_type=bb.model_type or "large",
+                                     name="backbone")
         return TwinsFPN_8_4_2(initial_dim=bb.initial_dim,
                               block_dims=tuple(bb.block_dims),
                               model_type=bb.model_type or "large",

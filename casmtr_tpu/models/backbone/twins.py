@@ -74,9 +74,12 @@ class TwinsSVT(nn.Module):
     (reference gvt.py:580-640 ALTGVT_first2_layers). Blocks alternate
     window attention (even index, ws) and global sr attention (odd, ws=1);
     PosCNN is applied after the FIRST block of each stage; extra_norm applies
-    a stage-final LayerNorm."""
+    a stage-final LayerNorm.  With 3 stages the third is truncated to
+    ``stage3_depth`` blocks (reference gvt.py:667-668 first3_layers;
+    every preset passes stage3_depth=2, gvt.py:829-849)."""
     model_type: str = "large"
     n_stages: int = 2
+    stage3_depth: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +89,8 @@ class TwinsSVT(nn.Module):
             dim = preset["embed_dims"][i]
             patch = 4 if i == 0 else 2
             x, (H, W) = PatchEmbed(dim, patch, name=f"patch_embeds_{i}")(x)
-            for j in range(preset["depths"][i]):
+            depth = self.stage3_depth if i == 2 else preset["depths"][i]
+            for j in range(depth):
                 ws = 1 if j % 2 == 1 else preset["wss"][i]
                 x = GroupBlock(dim, preset["num_heads"][i], mlp_ratio=4.0,
                                sr_ratio=preset["sr_ratios"][i], ws=ws,

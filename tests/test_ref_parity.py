@@ -475,3 +475,72 @@ def test_ref_full_model_forward_parity(rng):
                                rtol=1e-3, atol=5e-2)
     np.testing.assert_allclose(got_k1[order_g], want_k1[order_w],
                                rtol=1e-3, atol=5e-2)
+
+
+def test_ref_resnetfpn_16_4(rng):
+    """Reference ResNetFPN_16_4 (resnet_fpn.py:280-360) == flax after
+    conversion."""
+    from src.model.backbone.resnet_fpn import ResNetFPN_16_4 as Ref
+    from casmtr_tpu.models.backbone.resnet_fpn import ResNetFPN_16_4
+
+    torch.manual_seed(0)
+    tm = Ref({"initial_dim": 8, "block_dims": [8, 12, 16, 24]}).eval()
+    _randomize_bn(tm)
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x))]
+
+    fm = ResNetFPN_16_4(initial_dim=8, block_dims=(8, 12, 16, 24),
+                        is_rgb=False)
+    xj = _to_jax_nhwc(x)
+    variables = fm.init(jax.random.PRNGKey(0), xj, train=False)
+    new_vars, report = convert_state_dict(tm.state_dict(), dict(variables))
+    assert not report["missing"] and not report["unused"], report
+    got = fm.apply(new_vars, xj, train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(_nchw(g), w, rtol=2e-4, atol=2e-4)
+
+
+def test_ref_twins_fpn_16_8_4_2(rng, tmp_path):
+    """Reference TwinsFPN_16_8_4_2 (twins_fpn.py:170-263, small preset,
+    first3 truncation) == flax after conversion."""
+    from src.model.backbone.twins_fpn import TwinsFPN_16_8_4_2 as Ref
+    from casmtr_tpu.models.backbone.twins import TwinsFPN_16_8_4_2
+
+    # the reference's 16_8_4_2 torch.load of vit_path is UNGUARDED
+    # (twins_fpn.py:186) — feed it an empty state dict
+    vit_path = str(tmp_path / "empty.pth")
+    torch.save({}, vit_path)
+    torch.manual_seed(0)
+    cfg = {"model_type": "small", "block_dims": [16, 24, 32, 48],
+           "vit_path": vit_path}
+    tm = Ref(cfg).eval()
+    _randomize_bn(tm)
+    x = rng.random((1, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in tm(torch.from_numpy(x))]
+
+    fm = TwinsFPN_16_8_4_2(initial_dim=16, block_dims=(16, 24, 32, 48),
+                           model_type="small")
+    xj = _to_jax_nhwc(x)
+    variables = fm.init(jax.random.PRNGKey(0), xj, train=False)
+    sd = {k: v for k, v in tm.state_dict().items()
+          if not k.startswith(("vit.patch_embeds.3", "vit.pos_block.3"))}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+    got = fm.apply(new_vars, xj, train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(_nchw(g), w, rtol=2e-3, atol=2e-3)
+
+
+def test_ref_full_tree_outdoor_2c():
+    """Released outdoor CasMTR-2c (stage4: adds the 1/2 cascade stage) tree
+    (configs/model_configs/outdoor/loftr_ds_quadtree_cas_twins_large_stage4.py,
+    cascade_model_stage4.py:77-213)."""
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage4.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage4 import CasMTR as RefCasMTR2c
+    _full_tree_coverage(RefCasMTR2c(config=cfg_ref["loftr"]),
+                        "outdoor_casmtr_2c")
