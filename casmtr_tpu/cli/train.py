@@ -150,6 +150,12 @@ def main(argv=None):
                    help="checkpoint dir to resume from (non-strict for new "
                         "stages; reference --resume_from_checkpoint)")
     p.add_argument("--reset-lr", action="store_true")
+    p.add_argument("--refine", action="store_true",
+                   help="PMT refine: frozen quadtree trunk + ladder + cas_ "
+                        "heads (reference train.py:64,108)")
+    p.add_argument("--quadtree-ckpt", default=None,
+                   help="pretrained quadtree checkpoint for --refine (orbax "
+                        "dir or torch .ckpt; reference --quadtree_path)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--val-every-epochs", type=int, default=1)
@@ -187,11 +193,38 @@ def main(argv=None):
                                 num_workers=args.num_workers)
     steps_per_epoch = max(1, len(train_loader))
 
-    model = build_model(cfg.loftr)
+    frozen_fn = None
+    if args.refine:
+        from casmtr_tpu.models.casmtr_refine import frozen_param_label
+        frozen_fn = frozen_param_label
+    model = build_model(cfg.loftr, refine=args.refine)
     init_b = next(iter(train_loader))
     state, tx = init_train_state(model, cfg, device_batch(init_b),
                                  jax.random.PRNGKey(cfg.trainer.seed),
-                                 steps_per_epoch, base_lr)
+                                 steps_per_epoch, base_lr,
+                                 frozen_label_fn=frozen_fn)
+    if args.refine and args.quadtree_ckpt:
+        # non-strict trunk load: cas_-prefixed fine heads keep fresh init
+        # (reference lightning_cascade_refine.py:32-65,105-109)
+        if args.quadtree_ckpt.endswith((".ckpt", ".pth")):
+            from casmtr_tpu.utils.convert import (convert_state_dict,
+                                                  load_torch_checkpoint)
+            sd = load_torch_checkpoint(args.quadtree_ckpt)
+            new_vars, report = convert_state_dict(
+                sd, {"params": state.params,
+                     "batch_stats": state.batch_stats}, strict=False)
+            state = state._replace(params=new_vars["params"],
+                                   batch_stats=new_vars["batch_stats"])
+            print(f"quadtree trunk loaded: {len(report['missing'])} fresh, "
+                  f"{len(report['unused'])} unused")
+        else:
+            restored = CheckpointManager(args.quadtree_ckpt).restore()
+            if restored is not None:
+                state = state._replace(
+                    params=load_into_state(restored.get("params"),
+                                           state.params),
+                    batch_stats=load_into_state(restored.get("batch_stats"),
+                                                state.batch_stats))
     ckpt_mgr = CheckpointManager(os.path.join(args.run_dir, "ckpts"),
                                  metric_name="auc@10")
     if args.resume:
@@ -232,6 +265,9 @@ def main(argv=None):
                          "batch_stats": jax.device_get(state.batch_stats)}
             if cfg.trainer.test_ema and state.ema_params is not None:
                 variables["params"] = jax.device_get(state.ema_params)
+                # make the selection visible: 'best' checkpoints are ranked
+                # by EMA-validation AUC while storing the RAW params
+                print("validation uses EMA params (trainer.test_ema=True)")
             results = run_validation(cfg, model, variables, val_loader,
                                      max_pairs=args.max_val_pairs, tb=tb,
                                      step=int(jax.device_get(state.step)))

@@ -101,13 +101,18 @@ def stage_warmup_schedule(schedule, tcfg: TrainerConfig, restore_step: int):
 
 
 def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
-                    new_param_labels=None, restore_step: int = 0):
+                    new_param_labels=None, restore_step: int = 0,
+                    frozen_label_fn=None):
     """AdamW with per-group ViT LR scale (reference src/optimizers/:14-24)
     and gradient clipping (reference train gradient_clip_val).
 
     With ``new_param_labels`` (an 'old'/'new' tree from new_stage_labels),
     the NEW params get the separate stage warmup
-    (lightning_cascade.py:175-181) starting at ``restore_step``."""
+    (lightning_cascade.py:175-181) starting at ``restore_step``.
+
+    ``frozen_label_fn(path) -> bool`` excludes params from optimization
+    entirely (zero updates) — the PMT-refine trunk freeze (reference
+    lightning_cascade_refine.py:80-99 skips them in build_optimizer)."""
     schedule = build_lr_schedule(tcfg, base_lr, steps_per_epoch)
     wd = tcfg.adamw_decay if tcfg.optimizer == "adamw" else tcfg.adam_decay
 
@@ -125,6 +130,8 @@ def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
 
     def label_fn(params):
         def leaf_label(path, _):
+            if frozen_label_fn is not None and frozen_label_fn(path):
+                return "frozen"
             if _is_vit_path(path):
                 return "vit"
             if new_param_labels is not None:
@@ -142,7 +149,7 @@ def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
 
     return optax.multi_transform(
         {"main": make(1.0, schedule), "vit": make(tcfg.vit_lr_scale, schedule),
-         "new": make(1.0, staged)}, label_fn)
+         "new": make(1.0, staged), "frozen": optax.set_to_zero()}, label_fn)
 
 
 def set_schedule_step(opt_state, step: int):

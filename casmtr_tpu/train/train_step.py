@@ -32,11 +32,13 @@ class TrainState(NamedTuple):
 
 
 def init_train_state(model, cfg: Config, batch, rng, steps_per_epoch: int,
-                     base_lr: float) -> Tuple[TrainState, Any]:
+                     base_lr: float, frozen_label_fn=None
+                     ) -> Tuple[TrainState, Any]:
     variables = model.init(rng, batch, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = build_optimizer(cfg.trainer, base_lr, steps_per_epoch)
+    tx = build_optimizer(cfg.trainer, base_lr, steps_per_epoch,
+                         frozen_label_fn=frozen_label_fn)
     opt_state = tx.init(params)
     ema = params if cfg.trainer.ema else None
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,

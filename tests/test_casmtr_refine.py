@@ -64,3 +64,31 @@ def test_frozen_param_label():
     assert frozen_param_label((jax.tree_util.DictKey("backbone"),))
     assert frozen_param_label((jax.tree_util.DictKey("loftr_coarse"),))
     assert not frozen_param_label((jax.tree_util.DictKey("ladder"),))
+
+
+def test_refine_optimizer_freezes_trunk(rng):
+    """build_optimizer(frozen_label_fn) gives zero updates to the trunk and
+    nonzero updates to the trainable modules (reference
+    lightning_cascade_refine.py:80-99 excludes them from param_groups)."""
+    import dataclasses
+    from casmtr_tpu.config import TrainerConfig
+    from casmtr_tpu.train.optim import build_optimizer
+    import optax
+
+    tcfg = dataclasses.replace(
+        TrainerConfig(), scheduler="MultiStepLR", mslr_milestones=(),
+        warmup_step=0, adamw_decay=0.0, gradient_clipping=1e9)
+    params = {"backbone": {"w": jnp.zeros(3)},
+              "loftr_coarse": {"w": jnp.zeros(3)},
+              "ladder": {"w": jnp.zeros(3)},
+              "cas_loftr_fine": {"w": jnp.zeros(3)}}
+    tx = build_optimizer(tcfg, 1e-3, 100, frozen_label_fn=frozen_param_label)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["backbone"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["loftr_coarse"]["w"]).sum()) == 0.0
+    np.testing.assert_allclose(np.abs(np.asarray(updates["ladder"]["w"])),
+                               1e-3, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(updates["cas_loftr_fine"]["w"])), 1e-3, rtol=1e-4)
