@@ -248,6 +248,9 @@ def main(argv=None):
                 s = {k: float(v) for k, v in scalars.items()}
                 rate = (i + 1) / (time.time() - t0 + 1e-9)
                 gstep = int(jax.device_get(state.step))
+                from casmtr_tpu.train.optim import build_lr_schedule
+                s["lr"] = float(build_lr_schedule(
+                    cfg.trainer, base_lr, steps_per_epoch)(gstep))
                 tb.scalars({f"train/{k}": v for k, v in s.items()}, gstep)
                 print(f"epoch {epoch} step {i}/{steps_per_epoch} "
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "

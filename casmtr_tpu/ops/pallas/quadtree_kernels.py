@@ -83,13 +83,15 @@ def _build_scores(q_c, k_ref, bias, s_scr, scale: float):
         s_scr[j] = s * scale + bias
 
 
-def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr, *, scale: float,
-                Lb: int, n_topk: int, ts_ref=None, ti_ref=None):
+def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
+                scale: float, Lb: int, n_topk: int, ts_ref=None, ti_ref=None):
     """One [_TP parents x all keys] tile: scores -> softmax -> (top-k) -> PV.
 
     VMEM/MXU discipline: exactly ONE exp pass (p overwrites the score
     scratch), and the P @ V matmul runs with p cast to the value dtype so a
     bf16 model pays a single MXU pass instead of an emulated-f32 multi-pass.
+    The per-row logsumexp is written out so the backward skips the max and
+    normalizer passes entirely (flash-style LSE residual).
     """
     bias = _membership_bias(ids_ref[0, 0], Lb)
     hit = bias == 0.0
@@ -115,6 +117,7 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr, *, scale: float,
                 # candidate whose exp underflowed to 0 still wins the max.
                 s_scr[j] = jnp.where(hit, p, jnp.float32(-1.0))
         msg_ref[0, 0, c] = acc / l
+        lse_ref[0, 0, c] = jnp.broadcast_to(m + jnp.log(l), (_TP, 8))
         # iterative top-k extraction on the candidate p values (softmax is
         # monotonic in the score, so selection order matches the oracle).
         big = jnp.int32(2 ** 30)
@@ -136,13 +139,15 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr, *, scale: float,
                                      jnp.float32(-2.0), s_scr[j])
 
 
-def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, dq_ref, dk_ref,
-                dv_ref, s_scr, *, scale: float, Lb: int):
+def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, s_scr, *, scale: float, Lb: int):
     """Flash-style backward: one score pass into the [4, _TP, Lb] scratch
-    (re-used as the p scratch — ~4 MiB at Lb = (88/2)^2, well inside the
-    raised vmem budget), and delta = rowsum(dO * O) from the saved forward
-    output instead of a dP pass, so each child costs 4 score + 4 dP + 12
-    gradient matmuls and a single exp sweep."""
+    (re-used as the A scratch — ~4 MiB at Lb = (88/2)^2, well inside the
+    raised vmem budget); the saved LSE residual normalizes directly
+    (A = exp(s - lse)) so there is no max or normalizer pass, and
+    delta = rowsum(dO * O) from the saved forward output replaces the dP
+    pass.  Each child costs 4 score + 4 dP + 12 gradient matmuls and a
+    single exp sweep."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         for j in range(4):
@@ -161,27 +166,21 @@ def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, dq_ref, dk_ref,
     for c in range(4):
         q_c = q_ref[0, 0, c]
         g_c = g_ref[0, 0, c]
-        # pass 1: scores -> scratch; row max across the 4 child segments
+        lse_c = lse_ref[0, 0, c][:, 0:1]
+        # single pass: A = exp(s - lse) directly (masked cols underflow to 0)
         _build_scores(q_c, k_ref, bias, s_scr, scale)
-        m = jnp.max(s_scr[0], axis=1, keepdims=True)
-        for j in range(1, 4):
-            m = jnp.maximum(m, jnp.max(s_scr[j], axis=1, keepdims=True))
-        # pass 2: p = exp(s - m) overwrites the scratch; normalizer
-        l = jnp.zeros_like(m)
         for j in range(4):
-            p_j = jnp.exp(s_scr[j] - m)   # masked cols: exp(-1e30 - m) == 0
-            l = l + jnp.sum(p_j, axis=1, keepdims=True)
-            s_scr[j] = p_j
+            s_scr[j] = jnp.exp(s_scr[j] - lse_c)
         # delta = rowsum(dO * O): O = A @ V (saved forward output), so
         # sum_c A_c (g . V_c) == g . O — no dP pass needed for delta.
         delta = jnp.sum(g_c.astype(jnp.float32) * o_ref[0, 0, c],
                         axis=1, keepdims=True)
-        # pass 3: dS = A * (dP - delta); accumulate dQ / dK / dV.  The
+        # dS = A * (dP - delta); accumulate dQ / dK / dV.  The
         # [_TP, Lb]-operand matmuls run in the model dtype (bf16 => one MXU
         # pass); accumulation stays f32 via preferred_element_type.
         dq_acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
         for j in range(4):
-            a_j = s_scr[j] / l
+            a_j = s_scr[j]
             ds_j = ((a_j * (dp(g_c, j) - delta) * scale)).astype(kdt)
             a_j = a_j.astype(kdt)
             dq_acc = dq_acc + jax.lax.dot_general(
@@ -242,47 +241,58 @@ def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
     scale = D ** -0.5
     grid = (B, H, P_pad // _TP)
     in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
+    lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
+                            memory_space=pltpu.VMEM)
+    lse_shape = jax.ShapeDtypeStruct((B, H, 4, P_pad, 8), jnp.float32)
     scratch = [pltpu.VMEM((4, _TP, Lb), jnp.float32)]
     if n_topk == 0:
         kern = functools.partial(_fwd_kernel, scale=scale, Lb=Lb, n_topk=0)
-        msg = pl.pallas_call(
-            kern, grid=grid, in_specs=in_specs, out_specs=msg_spec,
-            out_shape=jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+        msg, lse = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs,
+            out_specs=(msg_spec, lse_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+                lse_shape,
+            ),
             scratch_shapes=scratch, interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(ids_bh, q_cm, k_cm, v_cm)
-        return msg, None, None
+        return msg, lse, None, None
 
-    def kern(ids_ref, q_ref, k_ref, v_ref, msg_ref, ts_ref, ti_ref, s_scr):
-        _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, s_scr,
+    def kern(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, ts_ref, ti_ref,
+             s_scr):
+        _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr,
                     scale=scale, Lb=Lb, n_topk=n_topk, ts_ref=ts_ref,
                     ti_ref=ti_ref)
 
     tk_spec = pl.BlockSpec((1, 1, 4, _TP, n_topk),
                            lambda b, h, p: (b, h, 0, p, 0),
                            memory_space=pltpu.VMEM)
-    msg, ts, ti = pl.pallas_call(
+    msg, lse, ts, ti = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        out_specs=(msg_spec, tk_spec, tk_spec),
+        out_specs=(msg_spec, lse_spec, tk_spec, tk_spec),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, 4, P_pad, D), jnp.float32),
+            lse_shape,
             jax.ShapeDtypeStruct((B, H, 4, P_pad, n_topk), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 4, P_pad, n_topk), jnp.int32),
         ),
         scratch_shapes=scratch, interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(ids_bh, q_cm, k_cm, v_cm)
-    return msg, ts, ti
+    return msg, lse, ts, ti
 
 
-def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, interpret: bool):
+def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
     B, H, _, P_pad, D = q_cm.shape
     Lb = k_cm.shape[3]
     KX = ids_bh.shape[-1]
     scale = D ** -0.5
     grid = (B, H, P_pad // _TP)
     in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
-    in_specs = in_specs + [msg_spec, msg_spec]  # g, o
+    lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = in_specs + [msg_spec, msg_spec, lse_spec]  # g, o, lse
     kv_spec = pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     kern = functools.partial(_bwd_kernel, scale=scale, Lb=Lb)
@@ -296,7 +306,7 @@ def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, interpret: bool):
         ),
         scratch_shapes=[pltpu.VMEM((4, _TP, Lb), jnp.float32)],
         interpret=interpret, compiler_params=_COMPILER_PARAMS,
-    )(ids_bh, q_cm, k_cm, v_cm, g_cm, o_cm)
+    )(ids_bh, q_cm, k_cm, v_cm, g_cm, o_cm, lse)
     return dq, dk, dv
 
 
@@ -326,18 +336,19 @@ def _msg_out(msg, P):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _message(q, k, v, topk_idx_prev, hw_q, hw_k, interpret=False):
     q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
+    msg, _, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
     return _msg_out(msg, P)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _message_topk(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret=False):
     q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
+    msg, _, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
     return _msg_out(msg, P), ts[:, :, :, :P], ti[:, :, :, :P]
 
 
-def _shared_bwd(q, k, v, topk_idx_prev, msg, hw_q, hw_k, interpret, g_msg):
+def _shared_bwd(q, k, v, topk_idx_prev, msg, lse, hw_q, hw_k, interpret,
+                g_msg):
     q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
     # cotangent back to kernel layout, zero-padded parents; model dtype so the
     # dP / dV matmuls stay single-pass on the MXU (f32 acc regardless).
@@ -346,7 +357,7 @@ def _shared_bwd(q, k, v, topk_idx_prev, msg, hw_q, hw_k, interpret, g_msg):
     # forward output (residual) in kernel layout: delta = rowsum(dO * O)
     o_cm = _pad_parents(msg.transpose(0, 3, 2, 1, 4), 3, q_cm.shape[3])
     dq_cm, dk_cm, dv_cm = _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm,
-                                    interpret)
+                                    lse, interpret)
     h0, w0 = hw_q
     h1, w1 = hw_k
     B, Lq, H, D = q.shape
@@ -365,8 +376,10 @@ def _shared_bwd(q, k, v, topk_idx_prev, msg, hw_q, hw_k, interpret, g_msg):
 
 
 def _message_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, interpret):
-    out = _message(q, k, v, topk_idx_prev, hw_q, hw_k, interpret)
-    return out, (q, k, v, topk_idx_prev, out)
+    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
+    msg, lse, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
+    out = _msg_out(msg, P)
+    return out, (q, k, v, topk_idx_prev, out, lse)
 
 
 def _message_bwd(hw_q, hw_k, interpret, res, g):
@@ -377,8 +390,10 @@ _message.defvjp(_message_fwd, _message_bwd)
 
 
 def _message_topk_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret):
-    out = _message_topk(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret)
-    return out, (q, k, v, topk_idx_prev, out[0])
+    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
+    msg, lse, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
+    out = (_msg_out(msg, P), ts[:, :, :, :P], ti[:, :, :, :P])
+    return out, (q, k, v, topk_idx_prev, out[0], lse)
 
 
 def _message_topk_bwd(hw_q, hw_k, topk, interpret, res, g):
