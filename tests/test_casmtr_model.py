@@ -142,3 +142,36 @@ def test_casmtr_train_mode_with_gt(rng):
     v = np.asarray(st.matches.valid)
     sums = np.asarray(st.window_gt_label.sum(-1))[v]
     assert (sums == 1).all()
+
+
+def test_build_backbone_registry():
+    """Every reference resolution routes to a module (16_4 / 16_8_4_2 were
+    present but unreachable before round 2)."""
+    from casmtr_tpu.config import get_cfg_defaults, override
+    from casmtr_tpu.models.backbone import build_backbone
+    from casmtr_tpu.models.backbone.resnet_fpn import (ResNetFPN_8_2,
+                                                       ResNetFPN_8_4_2,
+                                                       ResNetFPN_16_4)
+    from casmtr_tpu.models.backbone.twins import (TwinsFPN_8_4_2,
+                                                  TwinsFPN_16_8_4_2)
+
+    base = get_cfg_defaults().loftr
+    cases = [
+        ({"backbone": {"backbone_type": "ResNetFPN"},
+          "resolution": [8, 2]}, ResNetFPN_8_2),
+        ({"backbone": {"backbone_type": "ResNetFPN"},
+          "resolution": [8, 4, 2]}, ResNetFPN_8_4_2),
+        ({"backbone": {"backbone_type": "ResNetFPN",
+                       "block_dims": [8, 12, 16, 24]},
+          "resolution": [16, 4]}, ResNetFPN_16_4),
+        ({"backbone": {"backbone_type": "Twins"},
+          "resolution": [8, 4, 2]}, TwinsFPN_8_4_2),
+        ({"backbone": {"backbone_type": "Twins",
+                       "block_dims": [8, 12, 16, 24]},
+          "resolution": [16, 8, 4, 2]}, TwinsFPN_16_8_4_2),
+    ]
+    for ov, cls in cases:
+        cfg = override(base, ov)
+        mod = build_backbone(cfg)
+        assert isinstance(mod, cls), (ov, type(mod))
+        assert mod.name == "backbone"
