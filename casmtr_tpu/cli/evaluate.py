@@ -40,11 +40,12 @@ def evaluate_batch_outputs(out_np: Dict, batch: Dict, cfg: Config,
         R_err, t_err, inl = M.compute_pose_errors(
             mk0, mk1, T, K0, K1, pixel_thr=cfg.trainer.ransac_pixel_thr,
             conf=cfg.trainer.ransac_conf)
-        # fallback id must be unique across the run: dedup in
-        # aggregate_metrics would otherwise collapse distinct pairs
+        # fallback id must be unique across the run AND across hosts (the
+        # multi-host gather_metrics dedup would otherwise collapse distinct
+        # pairs evaluated on different processes)
         metrics["identifiers"].append(
             "#".join(batch["pair_names"][b]) if "pair_names" in batch
-            else f"pair{len(metrics['identifiers'])}")
+            else f"r{jax.process_index()}pair{len(metrics['identifiers'])}")
         metrics["epi_errs"].append(epi)
         metrics["R_errs"].append(R_err)
         metrics["t_errs"].append(t_err)

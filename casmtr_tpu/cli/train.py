@@ -82,7 +82,8 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
 
 def resume_state(cfg: Config, state, tx, restored, base_lr: float,
                  steps_per_epoch: int, reset_lr: bool = False,
-                 resume_dir: Optional[str] = None):
+                 resume_dir: Optional[str] = None, frozen_label_fn=None,
+                 global_bs: Optional[int] = None):
     """Stage-aware resume (reference lightning_cascade.py:127-189).
 
     * params/batch_stats merge non-strictly: modules added by a later stage
@@ -105,9 +106,16 @@ def resume_state(cfg: Config, state, tx, restored, base_lr: float,
             from casmtr_tpu.config import load as load_cfg
             old = load_cfg(old_cfg_path)
             tcfg = old.trainer
-            base_lr = base_lr * (tcfg.canonical_lr / cfg.trainer.canonical_lr
-                                 ) * (cfg.trainer.canonical_bs
-                                      / tcfg.canonical_bs)
+            if global_bs is not None:
+                # re-derive from the old config (scaled_lr handles the
+                # ScanNet sqrt scaling; a plain ratio would not)
+                base_lr = scaled_lr(tcfg, global_bs,
+                                    cfg.dataset.trainval_data_source)
+            else:
+                base_lr = base_lr * (tcfg.canonical_lr
+                                     / cfg.trainer.canonical_lr
+                                     ) * (cfg.trainer.canonical_bs
+                                          / tcfg.canonical_bs)
 
     params = load_into_state(restored.get("params"), state.params)
     bstats = load_into_state(restored.get("batch_stats"), state.batch_stats)
@@ -117,10 +125,12 @@ def resume_state(cfg: Config, state, tx, restored, base_lr: float,
     has_new = any(v == "new" for v in jax.tree_util.tree_leaves(labels))
     if has_new:
         tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
-                             new_param_labels=labels, restore_step=rstep)
+                             new_param_labels=labels, restore_step=rstep,
+                             frozen_label_fn=frozen_label_fn)
         opt_state = tx.init(params)
     else:
-        tx = build_optimizer(tcfg, base_lr, steps_per_epoch)
+        tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
+                             frozen_label_fn=frozen_label_fn)
         opt_state = tx.init(params)
         if restored.get("opt_state") is not None:
             try:
@@ -132,8 +142,10 @@ def resume_state(cfg: Config, state, tx, restored, base_lr: float,
 
     opt_state = set_schedule_step(opt_state, rstep)
     ema = params if cfg.trainer.ema else None
+    from casmtr_tpu.train.optim import build_lr_schedule
+    sched = build_lr_schedule(tcfg, base_lr, steps_per_epoch)
     return TrainState(jnp.asarray(rstep, jnp.int32), params, bstats,
-                      opt_state, ema), tx
+                      opt_state, ema), tx, sched
 
 
 def main(argv=None):
@@ -227,13 +239,15 @@ def main(argv=None):
                                                 state.batch_stats))
     ckpt_mgr = CheckpointManager(os.path.join(args.run_dir, "ckpts"),
                                  metric_name="auc@10")
+    from casmtr_tpu.train.optim import build_lr_schedule
+    lr_sched = build_lr_schedule(cfg.trainer, base_lr, steps_per_epoch)
     if args.resume:
         restored = CheckpointManager(args.resume).restore()
         if restored is not None:
-            state, tx = resume_state(cfg, state, tx, restored, base_lr,
-                                     steps_per_epoch,
-                                     reset_lr=args.reset_lr,
-                                     resume_dir=args.resume)
+            state, tx, lr_sched = resume_state(
+                cfg, state, tx, restored, base_lr, steps_per_epoch,
+                reset_lr=args.reset_lr, resume_dir=args.resume,
+                frozen_label_fn=frozen_fn, global_bs=global_bs)
             print(f"resumed from {args.resume} at step {int(state.step)}")
 
     if mesh is not None:
@@ -248,9 +262,7 @@ def main(argv=None):
                 s = {k: float(v) for k, v in scalars.items()}
                 rate = (i + 1) / (time.time() - t0 + 1e-9)
                 gstep = int(jax.device_get(state.step))
-                from casmtr_tpu.train.optim import build_lr_schedule
-                s["lr"] = float(build_lr_schedule(
-                    cfg.trainer, base_lr, steps_per_epoch)(gstep))
+                s["lr"] = float(lr_sched(gstep))
                 tb.scalars({f"train/{k}": v for k, v in s.items()}, gstep)
                 print(f"epoch {epoch} step {i}/{steps_per_epoch} "
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "

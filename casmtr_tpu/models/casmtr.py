@@ -178,8 +178,9 @@ class CasMTR(nn.Module):
                     t4_0.astype(jnp.float32) / (c_ ** 0.5), hw0_4c)
                 d2d_w = hw0_4c[1] // 4
             if train:
-                mask4 = cm.cascade_match_mask_train(ws4, c4["thr"],
-                                                    idx_4c01.shape[-1])
+                mask4 = cm.cascade_match_mask_train(
+                    ws4, c4["thr"], idx_4c01.shape[-1], hw0_4c, hw1_4c,
+                    c4["border_rm"], c4["double_check"], m4_0, m4_1)
             else:
                 pc = cfg.coarse2.post_config
                 mask4 = cm.cascade_match_mask_test(
@@ -267,8 +268,9 @@ class CasMTR(nn.Module):
                 prop_window=(cfg.coarse3.window_size
                              if corners_2c01 is not None else 0))
             if train:
-                mask2 = cm.cascade_match_mask_train(ws2, c2["thr"],
-                                                    idx_2c01.shape[-1])
+                mask2 = cm.cascade_match_mask_train(
+                    ws2, c2["thr"], idx_2c01.shape[-1], hw0_f, hw1_f,
+                    c2["border_rm"], c2["double_check"], m2_0, m2_1)
             else:
                 pc = cfg.coarse3.post_config
                 mask2 = cm.cascade_match_mask_test(

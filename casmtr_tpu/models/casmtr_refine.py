@@ -150,8 +150,9 @@ class CasMTRRefine(nn.Module):
                 prop_window=(cfg.coarse2.window_size
                              if corners_4c01 is not None else 0))
             if train:
-                mask4 = cm.cascade_match_mask_train(ws4, c4["thr"],
-                                                    idx_4c01.shape[-1])
+                mask4 = cm.cascade_match_mask_train(
+                    ws4, c4["thr"], idx_4c01.shape[-1], hw0_4c, hw1_4c,
+                    c4["border_rm"], c4["double_check"], m4_0, m4_1)
             else:
                 pc = cfg.coarse2.post_config
                 mask4 = cm.cascade_match_mask_test(

@@ -171,6 +171,16 @@ def cascade_match_mask_test(
     for pre_conf, pre_hw, pre_thr in zip(pre_confs, pre_hws, pre_thrs):
         up = upscale_per_position(pre_conf, pre_hw, hw0)
         mask &= up > pre_thr
+    return _mask_common_tail(ws, mask, hw0, hw1, bd, double_check,
+                             mask0_2d, mask1_2d)
+
+
+def _mask_common_tail(ws, mask, hw0, hw1, bd, double_check, mask0_2d,
+                      mask1_2d):
+    """Border mask + cycle double-check + keep-at-least-one — the reference
+    applies these in BOTH the train and test branches (cascade_matching.py
+    :233-242 border, :244-251 double-check, :254-255 保底, all at method
+    level after the branch-specific thresholding)."""
     mask &= window_border_ok(ws.next_idx_c01, hw0, hw1, bd, mask0_2d, mask1_2d)
     if double_check:
         L0 = ws.next_idx_c01.shape[1]
@@ -189,14 +199,21 @@ def keep_at_least_one(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def cascade_match_mask_train(ws: WindowSoftmaxResult, thr: float,
-                             n_cands: int) -> jnp.ndarray:
+                             n_cands: int, hw0=None, hw1=None, bd: int = 0,
+                             double_check: bool = False, mask0_2d=None,
+                             mask1_2d=None) -> jnp.ndarray:
     """Training-time thresholding (reference cascade_matching.py:186-190):
-    confidences above uniform (1/Kw) when thr > 0, else above thr."""
+    confidences above uniform (1/Kw) when thr > 0, else above thr — followed
+    by the same border/double-check/keep-one tail as the test path (the
+    reference applies them in both branches)."""
     if thr > 0:
         mask = ws.next_conf_c01 > (1.0 / n_cands)
     else:
         mask = ws.next_conf_c01 > thr
-    return keep_at_least_one(mask)
+    if hw0 is None:
+        return keep_at_least_one(mask)
+    return _mask_common_tail(ws, mask, hw0, hw1, bd, double_check,
+                             mask0_2d, mask1_2d)
 
 
 def extract_cascade_matches(ws: WindowSoftmaxResult, mask: jnp.ndarray,

@@ -199,14 +199,72 @@ def test_reset_lr_flag_switches_schedule_config(tmp_path):
         up, _ = tx2.update(grads, state2.opt_state, state2.params)
         return float(jnp.abs(up["m"]["w"][0]))
 
-    s_keep, tx_keep = resume_state(cfg, state, tx, restored, base_lr=8e-3,
-                                   steps_per_epoch=100, reset_lr=False,
-                                   resume_dir=str(run / "ckpts"))
-    s_new, tx_new = resume_state(cfg, state, tx, restored, base_lr=8e-3,
-                                 steps_per_epoch=100, reset_lr=True,
-                                 resume_dir=str(run / "ckpts"))
+    s_keep, tx_keep, sched_keep = resume_state(
+        cfg, state, tx, restored, base_lr=8e-3, steps_per_epoch=100,
+        reset_lr=False, resume_dir=str(run / "ckpts"))
+    s_new, tx_new, sched_new = resume_state(
+        cfg, state, tx, restored, base_lr=8e-3, steps_per_epoch=100,
+        reset_lr=True, resume_dir=str(run / "ckpts"))
     assert int(s_keep.step) == 7
     np.testing.assert_array_equal(np.asarray(s_keep.params["m"]["w"]),
                                   np.ones(2, np.float32))
     np.testing.assert_allclose(lr_of(s_keep, tx_keep), 4e-3, rtol=1e-4)
     np.testing.assert_allclose(lr_of(s_new, tx_new), 8e-3, rtol=1e-4)
+
+
+def test_reset_lr_schedule_matches_optimizer(tmp_path):
+    """The schedule resume_state returns (used for TB lr logging) reflects
+    the config actually driving the optimizer."""
+    import dataclasses
+    from casmtr_tpu.cli.train import resume_state
+    from casmtr_tpu.config import Config, dump
+    from casmtr_tpu.train.optim import build_optimizer
+    from casmtr_tpu.train.train_step import TrainState
+
+    old_tcfg = _const_lr_tcfg(canonical_lr=4e-3, canonical_bs=1)
+    new_tcfg = _const_lr_tcfg(canonical_lr=8e-3, canonical_bs=1)
+    run = tmp_path / "old_run"
+    (run / "ckpts").mkdir(parents=True)
+    dump(dataclasses.replace(Config(), trainer=old_tcfg),
+         str(run / "config.json"))
+    params = {"m": {"w": jnp.zeros(2)}}
+    cfg = dataclasses.replace(Config(), trainer=new_tcfg)
+    tx = build_optimizer(new_tcfg, 8e-3, 100)
+    state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params))
+    restored = {"params": {"m": {"w": np.ones(2, np.float32)}},
+                "step": np.int64(7)}
+    _, _, sched = resume_state(cfg, state, tx, restored, base_lr=8e-3,
+                               steps_per_epoch=100, reset_lr=False,
+                               resume_dir=str(run / "ckpts"))
+    np.testing.assert_allclose(float(sched(10)), 4e-3, rtol=1e-5)
+
+
+def test_refine_resume_keeps_trunk_frozen(tmp_path):
+    """A --refine resume must rebuild the optimizer WITH the trunk freeze:
+    zero updates (incl. weight decay) for backbone/loftr_coarse params."""
+    import dataclasses
+    from casmtr_tpu.cli.train import resume_state
+    from casmtr_tpu.config import Config
+    from casmtr_tpu.models.casmtr_refine import frozen_param_label
+    from casmtr_tpu.train.optim import build_optimizer
+    from casmtr_tpu.train.train_step import TrainState
+
+    tcfg = _const_lr_tcfg(adamw_decay=0.1)  # decay would corrupt the trunk
+    params = {"backbone": {"w": jnp.ones(3)},
+              "ladder": {"w": jnp.ones(3)},
+              "cas_loftr_fine": {"w": jnp.ones(3)}}
+    cfg = dataclasses.replace(Config(), trainer=tcfg)
+    tx = build_optimizer(tcfg, 1e-3, 100, frozen_label_fn=frozen_param_label)
+    state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params))
+    # earlier-stage checkpoint: trunk + ladder, no cas_ heads -> "new" group
+    restored = {"params": {"backbone": {"w": np.full(3, 2.0, np.float32)},
+                           "ladder": {"w": np.full(3, 2.0, np.float32)}},
+                "step": np.int64(5)}
+    state2, tx2, _ = resume_state(cfg, state, tx, restored, base_lr=1e-3,
+                                  steps_per_epoch=100, reset_lr=True,
+                                  frozen_label_fn=frozen_param_label)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state2.params)
+    updates, _ = tx2.update(grads, state2.opt_state, state2.params)
+    assert float(jnp.abs(updates["backbone"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["ladder"]["w"]).sum()) > 0.0
+    assert float(jnp.abs(updates["cas_loftr_fine"]["w"]).sum()) > 0.0
