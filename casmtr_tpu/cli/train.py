@@ -172,6 +172,9 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--val-every-epochs", type=int, default=1)
     p.add_argument("--max-val-pairs", type=int, default=200)
+    p.add_argument("--sanity-val-steps", type=int, default=2,
+                   help="val pairs to run before training (PL "
+                        "num_sanity_val_steps=2 in every reference script)")
     p.add_argument("--seed", type=int, default=66)
     p.add_argument("--overrides-json", default=None,
                    help="inline JSON config overrides (applied last; the "
@@ -253,6 +256,15 @@ def main(argv=None):
     if mesh is not None:
         state = replicate_state(state, mesh)
     step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+
+    if args.sanity_val_steps > 0:
+        # catches val-pipeline breakage before paying for a train epoch
+        # (reference scripts: --num_sanity_val_steps=2)
+        run_validation(cfg, model,
+                       {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)},
+                       val_loader, max_pairs=args.sanity_val_steps)
+        print(f"sanity validation ok ({args.sanity_val_steps} pairs)")
 
     t0 = time.time()
     for epoch in range(args.epochs):
