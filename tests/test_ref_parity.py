@@ -544,3 +544,70 @@ def test_ref_full_tree_outdoor_2c():
     from src.model.cascade_model_stage4 import CasMTR as RefCasMTR2c
     _full_tree_coverage(RefCasMTR2c(config=cfg_ref["loftr"]),
                         "outdoor_casmtr_2c")
+
+
+def test_ref_full_model_forward_parity_2c(rng):
+    """Full-model forward parity for the released CasMTR-2c (stage4: adds the
+    1/2 cascade stage; reference cascade_model_stage4.py:104-213): identical
+    coarse/4c/2c match sets, candidate indices, and final fine keypoints
+    from converted weights."""
+    import jax
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage4.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage4 import CasMTR as RefCasMTR2c
+    ref = RefCasMTR2c(config=cfg_ref["loftr"]).eval()
+    _randomize_bn(ref)
+
+    img0 = rng.random((1, 3, 224, 224)).astype(np.float32)
+    img1 = rng.random((1, 3, 224, 224)).astype(np.float32)
+    data = {"image0": torch.from_numpy(img0), "image1": torch.from_numpy(img1)}
+    with torch.no_grad():
+        ref(data)
+
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr import CasMTR
+
+    cfg = build_config("outdoor_casmtr_2c")
+    model = CasMTR(cfg.loftr)
+    batch = {"image0": _to_jax_nhwc(img0), "image1": _to_jax_nhwc(img1)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(_REF_DEAD_PREFIXES)}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+    out = model.apply(new_vars, batch, train=False)
+
+    def match_set(stage):
+        return set(zip(stage["b_ids"].numpy().tolist(),
+                       stage["i_ids"].numpy().tolist(),
+                       stage["j_ids"].numpy().tolist()))
+
+    def our_set(matches):
+        valid = np.asarray(matches.valid)
+        return set(zip(np.asarray(matches.b_ids)[valid].tolist(),
+                       np.asarray(matches.i_ids)[valid].tolist(),
+                       np.asarray(matches.j_ids)[valid].tolist()))
+
+    assert our_set(out.coarse.matches) == match_set(data["stage_8c"])
+    for lvl in ("4c", "2c"):
+        s = data[f"stage_{lvl}"]
+        c = out.cascades[lvl]
+        np.testing.assert_array_equal(np.asarray(c.idx_c01),
+                                      s["idx_c01"].numpy())
+        np.testing.assert_allclose(np.asarray(c.conf_matrix),
+                                   s["conf_matrix"].numpy(),
+                                   rtol=2e-2, atol=1e-6, err_msg=lvl)
+        assert our_set(c.matches) == match_set(s), lvl
+
+    fm = out.final_matches
+    vf = np.asarray(fm.valid)
+    got_k0 = np.asarray(fm.mkpts0)[vf]
+    want_k0 = data["mkpts0_f"].numpy()
+    assert got_k0.shape == want_k0.shape
+    order_g = np.lexsort(got_k0.T)
+    order_w = np.lexsort(want_k0.T)
+    np.testing.assert_allclose(got_k0[order_g], want_k0[order_w],
+                               rtol=1e-3, atol=5e-2)
