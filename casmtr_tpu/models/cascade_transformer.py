@@ -80,10 +80,13 @@ def upsample_idx(topk_pos: jnp.ndarray, h0: int, h1: int, w1: int
 
 class CascadeQuadtreeAttention(nn.Module):
     """q/k/v projections around cascade_qtatt_b
-    (reference src/model/modules/quadtree_attention.py:102-171)."""
+    (reference src/model/modules/quadtree_attention.py:102-171).
+    window_structured: the idx set is a contiguous boundary-shifted window
+    (window propagation) -> enables the patch-granular gather path."""
     dim: int
     num_heads: int
     dilated: int = 1
+    window_structured: bool = False
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
@@ -99,8 +102,9 @@ class CascadeQuadtreeAttention(nn.Module):
         q = q.astype(cdt).reshape(B, L, self.num_heads, D)
         k = k.astype(cdt).reshape(B, -1, self.num_heads, D)
         v = v.astype(cdt).reshape(B, -1, self.num_heads, D)
-        msg, up_idx = cascade_qtatt_b(q, k, v, idx, hw_x, hw_t,
-                                      dilated=self.dilated, rel_pos=rel_pos)
+        msg, up_idx = cascade_qtatt_b(
+            q, k, v, idx, hw_x, hw_t, dilated=self.dilated, rel_pos=rel_pos,
+            window_structured=self.window_structured)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)
         return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg), up_idx
 
@@ -112,12 +116,14 @@ class CascadeQuadtreeBlock(nn.Module):
     num_heads: int
     dilated: int = 1
     mlp_ratio: float = 4.0
+    window_structured: bool = False
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         y, up_idx = CascadeQuadtreeAttention(
-            self.dim, self.num_heads, self.dilated, name="attn")(
+            self.dim, self.num_heads, self.dilated,
+            window_structured=self.window_structured, name="attn")(
                 norm1(x), norm1(target), hw_x, hw_t, idx, rel_pos)
         x = x + y
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
@@ -181,6 +187,8 @@ class CascadeFeatureTransformer(nn.Module):
             elif name == "cross":
                 layers.append(cqb(
                     cfg.d_model, cfg.nhead, dilated=cfg.dilated,
+                    window_structured=(cfg.propagation == "window"
+                                       and cfg.dilated == 1),
                     name=f"layers_{li}"))
             else:
                 raise NotImplementedError(name)

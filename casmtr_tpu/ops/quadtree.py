@@ -429,7 +429,8 @@ def qtatt_guided(queries, keys, values, sizes, topks, merge_weight,
 
 def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
                     hw_k: Tuple[int, int], dilated: int = 1,
-                    rel_pos: Optional[jnp.ndarray] = None):
+                    rel_pos: Optional[jnp.ndarray] = None,
+                    window_structured: bool = False):
     """CascadeQTAttB: single-level window cross-attention over 2x-upsampled
     positions (reference: quadtree_attention.py:392-452).
 
@@ -454,12 +455,44 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
                                   clamp_max=h1 * w1 - 1)[..., 0]  # [B, P, 4Kw]
 
     qb = block_children(q, h0, w0)                      # [B, P, 4, H, D]
-    # head-shared candidates: gather full [H*D] feature rows ONCE (TPU
-    # gathers are per-row scalar-bound; the reference gathers per head).
-    # Candidates sit on the LAST (lane) axis of the scores.
-    k_flat = k.reshape(B, -1, H * D)
-    k_g = jnp.take_along_axis(k_flat[:, None], idx_sh[..., None], axis=2)
-    k_g = k_g.reshape(B, Lq // 4, 4 * Kw, H, D)
+    # head-shared candidates, K||V FUSED: gather full [2*H*D] feature rows
+    # ONCE (TPU gathers are per-row scalar-bound — the fused table halves
+    # the descriptor count of this gather AND of its scatter-add transpose
+    # in the backward, the train step's top hot spot at 176^2).
+    kv_flat = jnp.concatenate([k.reshape(B, -1, H * D),
+                               v.reshape(B, -1, H * D)], axis=-1)
+    import os
+    structured = (window_structured and rel_pos is None and dilated == 1
+                  and os.environ.get("CASMTR_PATCH_GATHER", "1") == "1")
+    if structured:
+        # PATCH-granular gather: with dilated=1 each parent's candidates are
+        # one contiguous (2w x 2w) patch of image1 anchored at its
+        # boundary-shifted window corner (window_warp_idx shifts whole
+        # windows inward), so ONE windowed gather descriptor per parent
+        # replaces 4*Kw row descriptors — and its scatter-add transpose in
+        # the backward shrinks identically.  The message is softmax-order
+        # invariant, so patch order vs candidate order does not matter.
+        S = 2 * int(round(Kw ** 0.5))
+        F = kv_flat.shape[-1]
+        kv2d = kv_flat.reshape(B, h1, w1, F)
+        starts = (topk_pos[:, :, 0, :] * 2).astype(jnp.int32)  # == corners*2
+
+        def g(op, st):
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                start_index_map=(0, 1))
+            return jax.lax.gather(
+                op, st, dn, slice_sizes=(S, S, F),
+                mode=jax.lax.GatherScatterMode.CLIP)
+
+        patches = jax.vmap(g)(kv2d, starts)          # [B, P, S, S, F]
+        kv_g = patches.reshape(B, Lq // 4, S * S, 2, H, D)
+    else:
+        kv_g = jnp.take_along_axis(kv_flat[:, None], idx_sh[..., None],
+                                   axis=2)
+        kv_g = kv_g.reshape(B, Lq // 4, 4 * Kw, 2, H, D)
+    k_g = kv_g[:, :, :, 0]
+    v_g = kv_g[:, :, :, 1]
     qk = jnp.einsum("bpfhd,bpchd->bpfhc", qb, k_g,
                     preferred_element_type=jnp.float32) * (D ** -0.5)
     if rel_pos is not None:
@@ -467,9 +500,6 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
         rp = block_children(rp, h0, w0)                 # [B, P, 4, 4Kw, H]
         qk = qk + jnp.moveaxis(rp, 3, 4)                # -> [B, P, 4, H, 4Kw]
     A = jax.nn.softmax(qk, axis=-1)
-    v_flat = v.reshape(B, -1, H * D)
-    v_g = jnp.take_along_axis(v_flat[:, None], idx_sh[..., None], axis=2)
-    v_g = v_g.reshape(B, Lq // 4, 4 * Kw, H, D)
     message = jnp.einsum("bpfhc,bpchd->bpfhd", A, v_g,
                          preferred_element_type=jnp.float32)
     message = unblock_children(message, h0 // 2, w0 // 2)  # [B, Lq, H, D]

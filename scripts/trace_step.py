@@ -9,6 +9,8 @@ from casmtr_tpu.train.train_step import init_train_state, make_train_step
 
 size = 704
 cfg = _flagship_cfg(train_size=size)
+from casmtr_tpu.config import override
+cfg = override(cfg, {"loftr": {"remat": False}})  # match bench.py
 model = CasMTR(cfg.loftr)
 rng = np.random.default_rng(0)
 B = 1

@@ -97,3 +97,33 @@ def test_structured_matches_unstructured_in_matcher(rng):
                                   np.asarray(b.next_idx_c01))
 
 
+
+
+def test_cascade_patch_gather_equals_generic(rng, monkeypatch):
+    """cascade_qtatt_b patch-granular gather (window_structured) == generic
+    candidate gather: same message and upsampled idx (the message is
+    softmax-order invariant under the candidate permutation)."""
+    import jax.numpy as jnp
+    from casmtr_tpu.models.cascade_transformer import window_warp_idx
+    from casmtr_tpu.ops.propagation import get_propagations
+    from casmtr_tpu.ops.quadtree import cascade_qtatt_b
+
+    B, H, D, w = 1, 2, 8, 3
+    H0 = W0 = 12
+    Lq = H0 * W0
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    prev_idx = jnp.asarray(rng.integers(0, 36, (B, 36)), dtype=jnp.int32)
+    offsets, _ = get_propagations("window", w)
+    win_pos, _ = window_warp_idx(prev_idx, offsets, 6, 6)
+
+    monkeypatch.setenv("CASMTR_PATCH_GATHER", "0")
+    m1, u1 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
+                             window_structured=True)
+    monkeypatch.setenv("CASMTR_PATCH_GATHER", "1")
+    m2, u2 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
+                             window_structured=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
