@@ -171,42 +171,64 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
     (the finest level — qtatt_b never consumes its top-k) the top-k outputs
     are None and the work is skipped.
 
-    On TPU (backend 'pallas'/'auto') the rel_pos-free FINEST level runs the
-    fused masked-flash kernel (K1 + softmax + K2 in one Pallas call — see
+    On TPU (backend 'pallas'/'auto') the rel_pos-free levels run the fused
+    masked-flash kernel (K1 + softmax + K2 in one Pallas call — see
     ops/pallas/quadtree_kernels.py) instead of the descriptor-bound gathers.
-    Intermediate levels keep the gather path: they need the top-k over
-    candidates, and the kernel's iterative in-VMEM extraction is slower there
-    than the (small-level) gathers (v5e, 704^2: 6.5 vs 0.25 ms fwd at the
-    44^2 level, while the kernel wins 2.8 vs 9.0 ms at the 88^2 level).  Set
-    CASMTR_PALLAS_FINE_TOPK=1 to force the kernel on top-k levels too.
+    Levels that need the top-k over candidates SPLIT the work: the kernel
+    computes the message (dense flash fwd+bwd — no gather, no scatter-add
+    transpose), while the selection runs as a forward-only gathered-score
+    softmax + exact_topk under stop_gradient (the callers consume only the
+    int top-k *indices*; qtatt_b/:308 and qtatt_guided/:412 discard the
+    scores, so selection carries no gradient).  The kernel's own in-VMEM
+    iterative top-k extraction is slower than the small-level gathers
+    (v5e, 704^2: 6.5 vs 0.25 ms fwd at the 44^2 level) — force it with
+    CASMTR_PALLAS_FINE_TOPK=1; CASMTR_PALLAS_SPLIT_TOPK=0 reverts top-k
+    levels to the pure gather path.
     """
     h0, w0 = hw_q
     h1, w1 = hw_k
     B, _, H, D = q.shape
     K_prev = topk_idx_prev.shape[2]
 
+    selection_only = False
     if rel_pos is None:
         import os
         from casmtr_tpu.ops.gather_ops import use_pallas_fine
         force_topk = os.environ.get("CASMTR_PALLAS_FINE_TOPK", "0") == "1"
+        split_topk = os.environ.get("CASMTR_PALLAS_SPLIT_TOPK", "1") == "1"
         if use_pallas_fine() and (not need_topk or force_topk):
             from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
             msg, ts, ti = masked_fine_level(
                 q, k, v, topk_idx_prev, (h0, w0), (h1, w1),
                 topk=topk if need_topk else 0)
             return None, msg, ts, ti
+        if use_pallas_fine() and need_topk and split_topk:
+            from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
+            msg, _, _ = masked_fine_level(
+                q, k, v, topk_idx_prev, (h0, w0), (h1, w1), topk=0)
+            selection_only = True
+            # selection below reuses the gather path on stop_gradient inputs
+            q = jax.lax.stop_gradient(q)
+            k = jax.lax.stop_gradient(k)
 
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
 
     # block-granular gather: candidate (k, j) is child j of selected block k.
     # K and V are gathered as ONE fused table (half the gather descriptors —
     # TPU gathers are descriptor-bound) and the internal layout keeps
-    # candidates on the LAST (lane) axis.
-    kv = jnp.concatenate([to_block_major(k, h1, w1),
-                          to_block_major(v, h1, w1)], axis=-1)
-    kv_g = block_gather(kv, topk_idx_prev, n_children=8)  # [B,P,K,H,8,D]
-    k_g = kv_g[..., :4, :]
-    v_g = kv_g[..., 4:, :]
+    # candidates on the LAST (lane) axis.  On the split-top-k path only K is
+    # gathered (selection needs no values and no gradient).
+    if selection_only:
+        kv_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev,
+                            n_children=4)                  # [B,P,K,H,4,D]
+        k_g = kv_g
+        v_g = None
+    else:
+        kv = jnp.concatenate([to_block_major(k, h1, w1),
+                              to_block_major(v, h1, w1)], axis=-1)
+        kv_g = block_gather(kv, topk_idx_prev, n_children=8)  # [B,P,K,H,8,D]
+        k_g = kv_g[..., :4, :]
+        v_g = kv_g[..., 4:, :]
     qk = jnp.einsum("bpfhd,bpkhjd->bpfhkj", qb, k_g,
                     preferred_element_type=jnp.float32)
     P = qk.shape[1]
@@ -222,11 +244,13 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
         qk = qk + jnp.moveaxis(rp, 3, 4)                  # -> [B, P, 4, H, 4K]
 
     A = jax.nn.softmax(qk, axis=-1)                       # over 4K candidates
-    A6 = A.reshape(B, P, 4, H, K_prev, 4)
-    message = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
-                         preferred_element_type=jnp.float32)
+    if not selection_only:
+        A6 = A.reshape(B, P, 4, H, K_prev, 4)
+        message = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
+                             preferred_element_type=jnp.float32)
+        msg = message
     if not need_topk:
-        return A, message, None, None
+        return A, msg, None, None
 
     topk_score, topk_local = exact_topk(A, topk)          # [B, P, 4, H, k]
     # map window-local candidate ids to global child indices (child j of
@@ -243,7 +267,7 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
                                   h0 // 2, w0 // 2)       # [B, Lq, k, H]
     topk_idx = unblock_children(jnp.swapaxes(topk_idx, 3, 4),
                                 h0 // 2, w0 // 2)
-    return A, message, topk_score, topk_idx
+    return A, msg, topk_score, topk_idx
 
 
 def _merge_messages(messages: List[jnp.ndarray], parent_hw: List[Tuple[int, int]],

@@ -115,6 +115,56 @@ def main():
         bench(f"{tag} kernel fwd+bwd", functools.partial(chain_grad, kern), q)
         bench(f"{tag} gather fwd+bwd", functools.partial(chain_grad, orac), q)
 
+    # ---- split-top-k dispatch (_fine_level_b: kernel message + stop-grad
+    # gather selection) vs the pure gather path at the L1 geometry ----
+    from casmtr_tpu.ops import gather_ops
+
+    case = _rand_case(rng, B=1, H=8, D=32, h0=44, w0=44, h1=44, w1=44, K=32)
+    q, k, v, ids, hw_q, hw_k = case
+
+    def fine_b(q_, k_, v_):
+        _, m, ts, ti = qt._fine_level_b(q_, k_, v_, ids, 16, hw_q, hw_k,
+                                        hw_k[1] // 2, need_topk=True)
+        return m, ts, ti
+
+    with jax.default_matmul_precision("highest"):
+        gather_ops.set_backend("pallas")
+        try:
+            got = jax.jit(fine_b)(q, k, v)
+        finally:
+            gather_ops.set_backend("jnp")  # 'auto' resolves to pallas on TPU
+        try:
+            want = jax.jit(fine_b)(q, k, v)
+        finally:
+            gather_ops.set_backend("auto")
+    em = float(jnp.abs(got[0] - want[0]).max())
+    es = float(jnp.abs(got[1] - want[1]).max())
+    ei = int((got[2] != want[2]).sum())
+    print(f"split-topk L1 f32: msg err {em:.3g}, score err {es:.3g}, "
+          f"idx mismatches {ei}", flush=True)
+    assert em < 1e-4 and es < 1e-4 and ei == 0
+
+    # timing: fwd+bwd through the split dispatch, bf16 (model dtype)
+    qb16, kb16, vb16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    def chain_split(q0):
+        def one(qq):
+            m, _, _2 = fine_b(qq, kb16, vb16)
+            return jnp.sum(m ** 2)
+        def body(c, _):
+            return c + 1e-12 * jax.grad(one)(c), ()
+        return jax.lax.scan(body, q0, None, length=N)[0]
+
+    gather_ops.set_backend("pallas")
+    try:
+        bench("L1 split-topk fwd+bwd", chain_split, qb16)
+    finally:
+        gather_ops.set_backend("jnp")  # 'auto' resolves to pallas on TPU
+    try:
+        bench("L1 gather-topk fwd+bwd", chain_split, qb16)
+    finally:
+        gather_ops.set_backend("auto")
+
     print("ALL OK", flush=True)
 
 

@@ -135,9 +135,7 @@ def test_grad_parity_through_topk_variant(rng):
                                rtol=5e-5, atol=5e-5)
 
 
-def test_qtatt_b_backend_pallas_matches_jnp(rng):
-    """Full QTAttB through the pallas backend (interpret mode) vs jnp."""
-    B, H, D = 1, 2, 8
+def _qtatt_b_case(rng, B=1, H=2, D=8):
     sizes = [(16, 16), (8, 8), (4, 4)]
     mk = lambda h, w: jnp.asarray(
         rng.standard_normal((B, h * w, H, D)).astype(np.float32))
@@ -145,7 +143,56 @@ def test_qtatt_b_backend_pallas_matches_jnp(rng):
     ks = [mk(*s) for s in sizes]
     vs = [mk(*s) for s in sizes]
     wt = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+    return qs, ks, vs, sizes, wt
 
+
+def test_qtatt_b_backend_pallas_matches_jnp(rng):
+    """Full QTAttB through the pallas backend (interpret mode) vs jnp.
+
+    With the split-top-k dispatch this covers BOTH kernel modes: the finest
+    level (message only) and the intermediate level (kernel message +
+    stop-gradient gather selection)."""
+    qs, ks, vs, sizes, wt = _qtatt_b_case(rng)
+    want = qt.qtatt_b(qs, ks, vs, sizes, topks=[4, 3, 2], merge_weight=wt)
+    gather_ops.set_backend("pallas")
+    try:
+        got = qt.qtatt_b(qs, ks, vs, sizes, topks=[4, 3, 2], merge_weight=wt)
+    finally:
+        gather_ops.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_qtatt_b_backend_pallas_grad_matches_jnp(rng):
+    """Gradient parity for the full QTAttB pallas path — pins that the
+    split-top-k level's selection (stop_gradient gather) + kernel message
+    carries exactly the oracle gradient (the selection has none: callers use
+    only the int top-k indices)."""
+    qs, ks, vs, sizes, wt = _qtatt_b_case(rng)
+
+    def loss(qs_, ks_, vs_):
+        out = qt.qtatt_b(qs_, ks_, vs_, sizes, topks=[4, 3, 2],
+                         merge_weight=wt)
+        return jnp.sum(out ** 2)
+
+    g_want = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    gather_ops.set_backend("pallas")
+    try:
+        g_got = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    finally:
+        gather_ops.set_backend("auto")
+    for a_l, b_l, name in zip(g_got, g_want, "qkv"):
+        for lvl, (a, b) in enumerate(zip(a_l, b_l)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5,
+                err_msg=f"d{name} level {lvl}")
+
+
+def test_split_topk_env_revert(rng, monkeypatch):
+    """CASMTR_PALLAS_SPLIT_TOPK=0 must revert top-k levels to the gather
+    path (still numerically identical end-to-end)."""
+    monkeypatch.setenv("CASMTR_PALLAS_SPLIT_TOPK", "0")
+    qs, ks, vs, sizes, wt = _qtatt_b_case(rng)
     want = qt.qtatt_b(qs, ks, vs, sizes, topks=[4, 3, 2], merge_weight=wt)
     gather_ops.set_backend("pallas")
     try:
