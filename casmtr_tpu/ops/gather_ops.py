@@ -53,6 +53,22 @@ def get_backend() -> str:
     return "jnp"
 
 
+def use_pallas_window_cross() -> bool:
+    """True when the fused cascade window cross-attention kernel should be
+    used (structured window candidates; see window_kernels.py)."""
+    if get_backend() != "pallas":
+        return False
+    # Default OFF until on-device parity has been run (scripts/
+    # tpu_kernel_parity.py "wca" section); interpret-mode parity is green.
+    if os.environ.get("CASMTR_PALLAS_WINDOW_CROSS", "0") != "1":
+        return False
+    try:
+        from casmtr_tpu.ops.pallas import HAVE_WINDOW_KERNEL
+        return HAVE_WINDOW_KERNEL
+    except Exception:
+        return False
+
+
 def use_pallas_fine() -> bool:
     """True when the fused masked-flash fine-level kernel should be used.
 

@@ -180,3 +180,364 @@ def window_patch_score_jnp(q_blk, feat1, corners, w: int):
     f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2)
     return jnp.einsum("bpfd,bpkd->bpfk", q_blk.astype(jnp.float32),
                       f1_g.astype(jnp.float32))
+
+
+# ===========================================================================
+# Fused cascade window cross-attention (CascadeQTAttB structured form)
+# ===========================================================================
+#
+# The cascade cross-attention (reference cuda_imp/.../modules/
+# quadtree_attention.py:392-452 CascadeQTAttB, driven by K3-style gathers)
+# attends each 2x2 query block to the 4*w^2 = (2w x 2w) contiguous image1
+# patch anchored at its parent's boundary-shifted predicted-match window
+# (transformer.py:416-440).  The XLA gather formulation pays a
+# descriptor-bound gather forward and — far worse — a scatter-add transpose
+# backward (~46 ms/layer at 176^2 on v5e, the train step's top op).  This
+# kernel fuses gather + QK + softmax + PV into one Pallas call:
+#
+# * one strided DMA per parent fetches its (2w x 2w) K||V patch (the
+#   candidate structure the reference builds by enumeration);
+# * heads are packed BLOCK-DIAGONALLY: parent rows (child f, head h) hold
+#   q[f, h] in columns [h*D, (h+1)*D) of a [4H, HD] tile, so the per-head
+#   contraction becomes ONE full-width matmul; G = 128 // 4H parents are
+#   stacked to fill the 128-row MXU tile against their side-by-side patches
+#   (off-diagonal products are computed and discarded — 12.5% utilization
+#   beats 4-row matmuls by 8x and gathers by more);
+# * softmax runs on the compact [rows, 4w^2] scores (flash style, LSE saved);
+# * the backward recomputes scores from re-DMA'd patches and accumulates
+#   dK||dV into a VMEM-RESIDENT [Lk, 2HD] accumulator across the whole grid
+#   (output-block revisiting), replacing the serialized XLA scatter-add: the
+#   CUDA atomicAdd becomes sequential in-VMEM read-modify-write.
+_WTP = 64  # parents per grid step (multiple of the matmul group G)
+
+
+def _wca_group_sizes(H: int):
+    R = 4 * H                       # query rows per parent (child, head)
+    G = max(1, 128 // R)            # parents per 128-row matmul
+    return R, G
+
+
+def _embed_heads(x, H: int, D: int):
+    """[N, H, D] -> [N*H, H*D]: row (n, h) holds x[n, h] at cols h*D..,
+    zeros elsewhere (static slice writes only — Mosaic-safe)."""
+    N = x.shape[0]
+    z = jnp.zeros((N, H, H * D), x.dtype)
+    for h in range(H):
+        z = jax.lax.dynamic_update_slice(
+            z, x[:, h:h + 1, :], (0, h, h * D))
+    return z.reshape(N * H, H * D)
+
+
+def _extract_heads(x, H: int, D: int):
+    """Inverse selection of _embed_heads: [N*H, H*D] -> [N, H, D] taking
+    row (n, h)'s cols h*D:(h+1)*D."""
+    NH = x.shape[0]
+    x4 = x.reshape(NH // H, H, H * D)
+    outs = [jax.lax.dynamic_slice(x4, (0, h, h * D), (NH // H, 1, D))
+            for h in range(H)]
+    return jnp.concatenate(outs, axis=1)            # [N, H, D]
+
+
+def _block_diag_extract(big, R: int, C: int, G: int):
+    """[G*R, G*C] -> [G*R, C] taking the G diagonal blocks."""
+    return jnp.concatenate(
+        [jax.lax.dynamic_slice(big, (i * R, i * C), (R, C))
+         for i in range(G)], axis=0)
+
+
+def _block_diag_embed(cmp, R: int, C: int, G: int):
+    """[G*R, C] -> [G*R, G*C] placing block i at (i*R, i*C), zeros elsewhere."""
+    z = jnp.zeros((G * R, G * C), cmp.dtype)
+    for i in range(G):
+        z = jax.lax.dynamic_update_slice(
+            z, jax.lax.dynamic_slice(cmp, (i * R, 0), (R, C)), (i * R, i * C))
+    return z
+
+
+def _wca_fwd_kernel(corners_ref, q_ref, kv_ref, msg_ref, lse_ref,
+                    patch_scr, sem_ref, *, S: int, H: int, D: int,
+                    scale: float):
+    """One tile of _WTP parents: DMA patches, block-diag QK, softmax, PV."""
+    b = pl.program_id(0)
+    HD = H * D
+    C = S * S
+    R, G = _wca_group_sizes(H)
+
+    def dma(i):
+        ty = corners_ref[0, i, 0] * 2
+        tx = corners_ref[0, i, 1] * 2
+        return pltpu.make_async_copy(
+            kv_ref.at[b, pl.ds(ty, S), pl.ds(tx, S), :],
+            patch_scr.at[i], sem_ref.at[i])
+
+    for i in range(_WTP):
+        dma(i).start()
+
+    q_all = q_ref[0]                                 # [_WTP, 4, H, D]
+    for g in range(_WTP // G):
+        for i in range(G):
+            dma(g * G + i).wait()
+        qg = q_all[g * G:(g + 1) * G].reshape(G * 4, H, D)
+        qp = _embed_heads(qg, H, D)                  # [G*R, HD]
+        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G * C, 2 * HD)
+        k_g = kv_g[:, :HD]
+        v_g = kv_g[:, HD:]
+        s_big = jax.lax.dot_general(
+            qp, k_g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [G*R, G*C]
+        s_cmp = _block_diag_extract(s_big, R, C, G) * scale
+        m = jnp.max(s_cmp, axis=1, keepdims=True)
+        p = jnp.exp(s_cmp - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        a_big = _block_diag_embed(p.astype(v_g.dtype), R, C, G)
+        o_big = jax.lax.dot_general(
+            a_big, v_g, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [G*R, HD]
+        o_cmp = _extract_heads(o_big, H, D)          # [G*4, H, D]
+        msg_ref[0, g * G:(g + 1) * G] = (
+            o_cmp / l.reshape(G * 4, H, 1)).reshape(G, 4, H, D)
+        lse_ref[0, g * G:(g + 1) * G] = (m + jnp.log(l)).reshape(G, R)
+
+
+def _wca_bwd_kernel(corners_ref, q_ref, g_ref, o_ref, lse_ref, kv_ref,
+                    dq_ref, dkv_ref, patch_scr, sem_ref, *, S: int, H: int,
+                    D: int, scale: float, w1: int):
+    """Backward tile: recompute scores from re-DMA'd patches (flash, LSE
+    residual), then dQ via block-diag matmuls and dK||dV accumulated into the
+    VMEM-resident [Lk, 2HD] accumulator (dkv_ref is revisited across all
+    parent steps — the XLA scatter-add / CUDA atomicAdd equivalent)."""
+    b = pl.program_id(0)
+    HD = H * D
+    C = S * S
+    R, G = _wca_group_sizes(H)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dkv_ref[0] = jnp.zeros(dkv_ref.shape[1:], jnp.float32)
+
+    def dma(i):
+        ty = corners_ref[0, i, 0] * 2
+        tx = corners_ref[0, i, 1] * 2
+        return pltpu.make_async_copy(
+            kv_ref.at[b, pl.ds(ty, S), pl.ds(tx, S), :],
+            patch_scr.at[i], sem_ref.at[i])
+
+    for i in range(_WTP):
+        dma(i).start()
+
+    q_all = q_ref[0]                                 # [_WTP, 4, H, D]
+    g_all = g_ref[0]
+    o_all = o_ref[0]
+    kdt = patch_scr.dtype
+    for g in range(_WTP // G):
+        for i in range(G):
+            dma(g * G + i).wait()
+        qg = q_all[g * G:(g + 1) * G].reshape(G * 4, H, D)
+        gg = g_all[g * G:(g + 1) * G].reshape(G * 4, H, D).astype(jnp.float32)
+        og = o_all[g * G:(g + 1) * G].reshape(G * 4, H, D)
+        lse = lse_ref[0, g * G:(g + 1) * G].reshape(G * R, 1)
+        qp = _embed_heads(qg, H, D)                  # [G*R, HD]
+        gp = _embed_heads(gg.astype(kdt), H, D)
+        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G * C, 2 * HD)
+        k_g = kv_g[:, :HD]
+        v_g = kv_g[:, HD:]
+        s_big = jax.lax.dot_general(
+            qp, k_g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_cmp = _block_diag_extract(s_big, R, C, G) * scale
+        a = jnp.exp(s_cmp - lse)                     # [G*R, C] normalized
+        # delta = rowsum(dO * O) (saved forward output)
+        delta = jnp.sum(gg * og, axis=-1).reshape(G * R, 1)
+        dp_big = jax.lax.dot_general(
+            gp, v_g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = _block_diag_extract(dp_big, R, C, G)
+        ds = (a * (dp - delta) * scale)              # [G*R, C] f32
+        ds_big = _block_diag_embed(ds.astype(kdt), R, C, G)
+        a_big = _block_diag_embed(a.astype(kdt), R, C, G)
+        dq_big = jax.lax.dot_general(
+            ds_big, k_g, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [G*R, HD]
+        dq_cmp = _extract_heads(dq_big, H, D)        # [G*4, H, D]
+        dq_ref[0, g * G:(g + 1) * G] = dq_cmp.reshape(G, 4, H, D)
+        dk_g = jax.lax.dot_general(
+            ds_big, qp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [G*C, HD]
+        dv_g = jax.lax.dot_general(
+            a_big, gp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [G*C, HD]
+        dkv_g = jnp.concatenate([dk_g, dv_g], axis=-1)  # [G*C, 2HD]
+        for i in range(G):
+            pi = g * G + i
+            ty = corners_ref[0, pi, 0] * 2
+            tx = corners_ref[0, pi, 1] * 2
+            dkv_i = dkv_g[i * C:(i + 1) * C].reshape(S, S, 2 * HD)
+            for r in range(S):
+                row0 = (ty + r) * w1 + tx
+                acc = dkv_ref[0, pl.ds(row0, S), :]
+                dkv_ref[0, pl.ds(row0, S), :] = acc + dkv_i[r]
+
+
+_WCA_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
+
+def _wca_prepare(q, k, v, corners, hw_q, hw_k):
+    from casmtr_tpu.ops.quadtree import block_children
+    h0, w0 = hw_q
+    B, Lq, H, D = q.shape
+    P = Lq // 4
+    P_pad = -(-P // _WTP) * _WTP
+    q_blk = block_children(q, h0, w0)                 # [B, P, 4, H, D]
+    if P_pad != P:
+        q_blk = jnp.pad(q_blk, ((0, 0), (0, P_pad - P)) + ((0, 0),) * 3)
+        corners = jnp.pad(corners, ((0, 0), (0, P_pad - P), (0, 0)))
+    h1, w1 = hw_k
+    HD = H * D
+    kv2d = jnp.concatenate([k.reshape(B, -1, HD), v.reshape(B, -1, HD)],
+                           axis=-1).reshape(B, h1, w1, 2 * HD)
+    return q_blk, kv2d, corners.astype(jnp.int32), P, P_pad
+
+
+def _wca_fwd_call(q_blk, kv2d, corners, S, interpret):
+    B, P_pad, _, H, D = q_blk.shape
+    R, _ = _wca_group_sizes(H)
+    scale = D ** -0.5
+    grid = (B, P_pad // _WTP)
+    kern = functools.partial(_wca_fwd_kernel, S=S, H=H, D=D, scale=scale)
+    msg, lse = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _WTP, 2), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _WTP, 4, H, D), lambda b, p: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # kv2d whole in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _WTP, 4, H, D), lambda b, p: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _WTP, R), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, P_pad, 4, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, P_pad, R), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_WTP, S, S, kv2d.shape[-1]), kv2d.dtype),
+            pltpu.SemaphoreType.DMA((_WTP,)),
+        ],
+        interpret=interpret, compiler_params=_WCA_COMPILER_PARAMS,
+    )(corners, q_blk, kv2d)
+    return msg, lse
+
+
+def _wca_bwd_call(q_blk, kv2d, corners, msg, lse, g_blk, S, w1, interpret):
+    B, P_pad, _, H, D = q_blk.shape
+    Lk = kv2d.shape[1] * kv2d.shape[2]
+    F = kv2d.shape[-1]
+    R, _ = _wca_group_sizes(H)
+    scale = D ** -0.5
+    grid = (B, P_pad // _WTP)
+    kern = functools.partial(_wca_bwd_kernel, S=S, H=H, D=D, scale=scale,
+                             w1=w1)
+    blk5 = pl.BlockSpec((1, _WTP, 4, H, D), lambda b, p: (b, p, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dkv = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _WTP, 2), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.SMEM),
+            blk5,                                     # q
+            blk5,                                     # g (cotangent)
+            blk5,                                     # msg (saved output)
+            pl.BlockSpec((1, _WTP, R), lambda b, p: (b, p, 0),
+                         memory_space=pltpu.VMEM),    # lse
+            pl.BlockSpec(memory_space=pl.ANY),        # kv2d whole in HBM
+        ],
+        out_specs=(
+            blk5,                                     # dq
+            pl.BlockSpec((1, Lk, F), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.VMEM),    # dkv (revisited)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, P_pad, 4, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lk, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_WTP, S, S, F), kv2d.dtype),
+            pltpu.SemaphoreType.DMA((_WTP,)),
+        ],
+        interpret=interpret, compiler_params=_WCA_COMPILER_PARAMS,
+    )(corners, q_blk, g_blk, msg, lse, kv2d)
+    return dq, dkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def window_cross_attention(q, k, v, corners, hw_q, hw_k, w: int,
+                           interpret: bool = False):
+    """Fused cascade window cross-attention (structured CascadeQTAttB).
+
+    Each 2x2 query block of ``q`` attends (per head, softmax over 4*w^2
+    candidates) to the (2w x 2w) image1 patch anchored at ``corners * 2``.
+    Candidate order differs from the reference enumeration but the softmax
+    message is order-invariant.
+
+    q: [B, Lq, H, D]; k/v: [B, Lk, H, D] on the (h1, w1) grid;
+    corners: [B, Lq//4, 2] int32 (y, x) on the HALF grid of image1 —
+    the boundary-shifted window top-left (window_warp_idx[:, :, 0]).
+    Returns msg [B, Lq//4, 4, H, D] float32.
+    """
+    q_blk, kv2d, corners, P, _ = _wca_prepare(q, k, v, corners, hw_q, hw_k)
+    msg, _ = _wca_fwd_call(q_blk, kv2d, corners, 2 * w, interpret)
+    return msg[:, :P]
+
+
+def _wca_fwd(q, k, v, corners, hw_q, hw_k, w, interpret):
+    q_blk, kv2d, corners_p, P, _ = _wca_prepare(q, k, v, corners, hw_q, hw_k)
+    msg, lse = _wca_fwd_call(q_blk, kv2d, corners_p, 2 * w, interpret)
+    return msg[:, :P], (q, k, v, corners, msg, lse)
+
+
+def _wca_bwd(hw_q, hw_k, w, interpret, res, g):
+    q, k, v, corners, msg, lse = res
+    B, Lq, H, D = q.shape
+    HD = H * D
+    h1, w1 = hw_k
+    q_blk, kv2d, corners_p, P, P_pad = _wca_prepare(q, k, v, corners,
+                                                    hw_q, hw_k)
+    g_blk = g.astype(q.dtype)
+    if P_pad != P:
+        g_blk = jnp.pad(g_blk, ((0, 0), (0, P_pad - P)) + ((0, 0),) * 3)
+    dq_blk, dkv = _wca_bwd_call(q_blk, kv2d, corners_p, msg, lse, g_blk,
+                                2 * w, w1, interpret)
+    from casmtr_tpu.ops.quadtree import unblock_children
+    h0, w0 = hw_q
+    dq = unblock_children(dq_blk[:, :P], h0 // 2, w0 // 2).astype(q.dtype)
+    dk = dkv[..., :HD].reshape(B, h1 * w1, H, D).astype(k.dtype)
+    dv = dkv[..., HD:].reshape(B, h1 * w1, H, D).astype(v.dtype)
+    return dq, dk, dv, None
+
+
+window_cross_attention.defvjp(_wca_fwd, _wca_bwd)
+
+
+def window_cross_attention_oracle(q, k, v, corners, hw_q, hw_k, w: int):
+    """Pure-jnp oracle with identical semantics (candidate set = the
+    (2w x 2w) patch at corners*2; per-head softmax over candidates)."""
+    from casmtr_tpu.ops.quadtree import block_children
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    idx = _expand_corner_indices(corners, w, w1)      # [B, P, 4w^2]
+    qb = block_children(q, h0, w0)                    # [B, P, 4, H, D]
+    k_g = jnp.take_along_axis(k[:, None], idx[..., None, None], axis=2)
+    v_g = jnp.take_along_axis(v[:, None], idx[..., None, None], axis=2)
+    qk = jnp.einsum("bpfhd,bpchd->bpfhc", qb, k_g,
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
+    a = jax.nn.softmax(qk, axis=-1)
+    return jnp.einsum("bpfhc,bpchd->bpfhd", a, v_g,
+                      preferred_element_type=jnp.float32)

@@ -478,6 +478,25 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
                                   dilated=dilated,
                                   clamp_max=h1 * w1 - 1)[..., 0]  # [B, P, 4Kw]
 
+    if window_structured and rel_pos is None and dilated == 1:
+        from casmtr_tpu.ops.gather_ops import use_pallas_window_cross
+        # VMEM-resident dK||dV accumulator bound (v5e: 128 MiB VMEM); the
+        # kernel's parent grouping needs H | 128/4 (power-of-two heads)
+        acc_mb = h1 * w1 * 2 * H * D * 4 / 2 ** 20
+        if use_pallas_window_cross() and acc_mb <= 72 and (H & (H - 1)) == 0:
+            from casmtr_tpu.ops.pallas.window_kernels import (
+                window_cross_attention)
+            w_prop = int(round(Kw ** 0.5))
+            corners = topk_pos[:, :, 0, :]              # shifted window TL
+            interp = jax.devices()[0].platform != "tpu"
+            msg = window_cross_attention(q, k, v, corners, (h0, w0),
+                                         (h1, w1), w_prop, interp)
+            msg = unblock_children(msg, h0 // 2, w0 // 2)
+            up_idx = jnp.broadcast_to(idx_sh[:, :, None],
+                                      (B, Lq // 4, 4, 4 * Kw))
+            up_idx = unblock_children(up_idx, h0 // 2, w0 // 2)
+            return msg, up_idx
+
     qb = block_children(q, h0, w0)                      # [B, P, 4, H, D]
     # head-shared candidates, K||V FUSED: gather full [2*H*D] feature rows
     # ONCE (TPU gathers are per-row scalar-bound — the fused table halves
@@ -485,36 +504,17 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
     # in the backward, the train step's top hot spot at 176^2).
     kv_flat = jnp.concatenate([k.reshape(B, -1, H * D),
                                v.reshape(B, -1, H * D)], axis=-1)
-    import os
-    structured = (window_structured and rel_pos is None and dilated == 1
-                  and os.environ.get("CASMTR_PATCH_GATHER", "1") == "1")
-    if structured:
-        # PATCH-granular gather: with dilated=1 each parent's candidates are
-        # one contiguous (2w x 2w) patch of image1 anchored at its
-        # boundary-shifted window corner (window_warp_idx shifts whole
-        # windows inward), so ONE windowed gather descriptor per parent
-        # replaces 4*Kw row descriptors — and its scatter-add transpose in
-        # the backward shrinks identically.  The message is softmax-order
-        # invariant, so patch order vs candidate order does not matter.
-        S = 2 * int(round(Kw ** 0.5))
-        F = kv_flat.shape[-1]
-        kv2d = kv_flat.reshape(B, h1, w1, F)
-        starts = (topk_pos[:, :, 0, :] * 2).astype(jnp.int32)  # == corners*2
-
-        def g(op, st):
-            dn = jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-                start_index_map=(0, 1))
-            return jax.lax.gather(
-                op, st, dn, slice_sizes=(S, S, F),
-                mode=jax.lax.GatherScatterMode.CLIP)
-
-        patches = jax.vmap(g)(kv2d, starts)          # [B, P, S, S, F]
-        kv_g = patches.reshape(B, Lq // 4, S * S, 2, H, D)
-    else:
-        kv_g = jnp.take_along_axis(kv_flat[:, None], idx_sh[..., None],
-                                   axis=2)
-        kv_g = kv_g.reshape(B, Lq // 4, 4 * Kw, 2, H, D)
+    # NOTE on a rejected alternative: with window_structured each parent's
+    # candidates are one contiguous (2w x 2w) patch of image1, so a windowed
+    # lax.gather (one patch descriptor per parent) looks attractive and wins
+    # an isolated microbench 2.5x — but in the full train graph its
+    # OVERLAPPING-window scatter-add transpose lowers to a serialized
+    # while-loop (~142 ms at 176^2, v5e) and regresses the step 0.51 -> 0.57
+    # s. The structured layout is exploited in the Pallas window kernels
+    # instead (ops/pallas/window_kernels.py).
+    kv_g = jnp.take_along_axis(kv_flat[:, None], idx_sh[..., None],
+                               axis=2)
+    kv_g = kv_g.reshape(B, Lq // 4, 4 * Kw, 2, H, D)
     k_g = kv_g[:, :, :, 0]
     v_g = kv_g[:, :, :, 1]
     qk = jnp.einsum("bpfhd,bpchd->bpfhc", qb, k_g,

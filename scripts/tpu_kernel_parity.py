@@ -165,6 +165,78 @@ def main():
     finally:
         gather_ops.set_backend("auto")
 
+    # ---- fused window cross-attention (cascade) at production geometry ----
+    from casmtr_tpu.ops.pallas.window_kernels import (
+        window_cross_attention, window_cross_attention_oracle)
+
+    B, H, D, wprop = 1, 4, 32, 5       # coarse2 of the outdoor 4c recipe
+    grid_hw = 176                       # 704^2 input -> 1/4 level
+    Lq = grid_hw * grid_hw
+    P = Lq // 4
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    kk = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    vv = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    cor = jnp.asarray(rng.integers(0, grid_hw // 2 - wprop + 1, (B, P, 2)),
+                      dtype=jnp.int32)
+    hwq = (grid_hw, grid_hw)
+
+    with jax.default_matmul_precision("highest"):
+        got = jax.jit(functools.partial(window_cross_attention, w=wprop,
+                                        interpret=False),
+                      static_argnums=(4, 5))(q, kk, vv, cor, hwq, hwq)
+        want = jax.jit(functools.partial(window_cross_attention_oracle,
+                                         w=wprop), static_argnums=(4, 5))(
+            q, kk, vv, cor, hwq, hwq)
+    em = float(jnp.abs(got - want).max())
+    print(f"wca parity f32: msg err {em:.3g}", flush=True)
+    assert em < 1e-4
+
+    def loss_wca(q_, k_, v_):
+        m = window_cross_attention(q_, k_, v_, cor, hwq, hwq, wprop, False)
+        return jnp.sum(m ** 2)
+
+    def loss_wca_o(q_, k_, v_):
+        m = window_cross_attention_oracle(q_, k_, v_, cor, hwq, hwq, wprop)
+        return jnp.sum(m ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        gk = jax.jit(jax.grad(loss_wca, argnums=(0, 1, 2)))(q, kk, vv)
+        go = jax.jit(jax.grad(loss_wca_o, argnums=(0, 1, 2)))(q, kk, vv)
+    for a, b, nm in zip(gk, go, "qkv"):
+        e = float(jnp.abs(a - b).max())
+        r = float(jnp.abs(b).max())
+        print(f"wca grad d{nm}: abs err {e:.3g} (ref max {r:.3g})", flush=True)
+        assert e < 1e-3 * max(r, 1.0)
+
+    # timings, bf16 (model dtype)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, kk, vv))
+
+    def chain_wca(impl):
+        def run(q0):
+            def one(qq):
+                return jnp.sum(impl(qq, kb, vb) ** 2)
+            def body(c, _):
+                return c + 1e-12 * jax.grad(one)(c), ()
+            return jax.lax.scan(body, q0, None, length=N)[0]
+        return run
+
+    def chain_wca_fwd(impl):
+        def run(q0):
+            def body(c, _):
+                m = impl(c, kb, vb)
+                return c + 1e-12 * m.mean().astype(c.dtype), ()
+            return jax.lax.scan(body, q0, None, length=N)[0]
+        return run
+
+    kern_wca = lambda q_, k_, v_: window_cross_attention(
+        q_, k_, v_, cor, hwq, hwq, wprop, False)
+    orac_wca = lambda q_, k_, v_: window_cross_attention_oracle(
+        q_, k_, v_, cor, hwq, hwq, wprop)
+    bench("wca kernel fwd", chain_wca_fwd(kern_wca), qb)
+    bench("wca gather fwd", chain_wca_fwd(orac_wca), qb)
+    bench("wca kernel fwd+bwd", chain_wca(kern_wca), qb)
+    bench("wca gather fwd+bwd", chain_wca(orac_wca), qb)
+
     print("ALL OK", flush=True)
 
 

@@ -99,10 +99,106 @@ def test_structured_matches_unstructured_in_matcher(rng):
 
 
 
-def test_cascade_patch_gather_equals_generic(rng, monkeypatch):
-    """cascade_qtatt_b patch-granular gather (window_structured) == generic
-    candidate gather: same message and upsampled idx (the message is
-    softmax-order invariant under the candidate permutation)."""
+def _wca_case(rng, B=1, H=2, D=8, w=2, grid=16, P_valid=None):
+    import jax.numpy as jnp
+    h0 = w0 = h1 = w1 = grid
+    Lq = h0 * w0
+    P = Lq // 4
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, h1 * w1, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, h1 * w1, H, D)).astype(np.float32))
+    corners = jnp.asarray(
+        rng.integers(0, grid // 2 - w + 1, (B, P, 2)), dtype=jnp.int32)
+    return q, k, v, corners, (h0, w0), (h1, w1), w
+
+
+def test_window_cross_attention_parity(rng):
+    """Fused window cross-attention kernel (interpret mode) vs jnp oracle."""
+    from casmtr_tpu.ops.pallas.window_kernels import (
+        window_cross_attention, window_cross_attention_oracle)
+    q, k, v, corners, hw_q, hw_k, w = _wca_case(rng)
+    got = window_cross_attention(q, k, v, corners, hw_q, hw_k, w, True)
+    want = window_cross_attention_oracle(q, k, v, corners, hw_q, hw_k, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_window_cross_attention_parity_padded(rng):
+    """Non-multiple-of-tile parent count exercises the padding path."""
+    from casmtr_tpu.ops.pallas.window_kernels import (
+        window_cross_attention, window_cross_attention_oracle)
+    # grid 20 -> P = 100, padded to 128
+    q, k, v, corners, hw_q, hw_k, w = _wca_case(rng, H=4, D=4, grid=20, w=3)
+    got = window_cross_attention(q, k, v, corners, hw_q, hw_k, w, True)
+    want = window_cross_attention_oracle(q, k, v, corners, hw_q, hw_k, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_window_cross_attention_grad_parity(rng):
+    """custom_vjp backward (VMEM-resident dK||dV accumulation) vs autodiff
+    through the jnp oracle."""
+    import jax
+    import jax.numpy as jnp
+    from casmtr_tpu.ops.pallas.window_kernels import (
+        window_cross_attention, window_cross_attention_oracle)
+    q, k, v, corners, hw_q, hw_k, w = _wca_case(rng)
+    cot = jnp.asarray(rng.standard_normal(
+        (1, q.shape[1] // 4, 4, q.shape[2], q.shape[3])).astype(np.float32))
+
+    def loss_k(q_, k_, v_):
+        m = window_cross_attention(q_, k_, v_, corners, hw_q, hw_k, w, True)
+        return jnp.sum(m * cot)
+
+    def loss_o(q_, k_, v_):
+        m = window_cross_attention_oracle(q_, k_, v_, corners, hw_q, hw_k, w)
+        return jnp.sum(m * cot)
+
+    g_got = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    g_want = jax.grad(loss_o, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_got, g_want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_cascade_qtatt_b_pallas_backend_uses_kernel(rng):
+    """cascade_qtatt_b under backend 'pallas' (window-structured corners from
+    window_warp_idx) == the generic gather path: same message and up_idx."""
+    import jax.numpy as jnp
+    from casmtr_tpu.models.cascade_transformer import window_warp_idx
+    from casmtr_tpu.ops import gather_ops
+    from casmtr_tpu.ops.propagation import get_propagations
+    from casmtr_tpu.ops.quadtree import cascade_qtatt_b
+
+    B, H, D, w = 1, 2, 8, 3
+    H0 = W0 = 12
+    Lq = H0 * W0
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Lq, H, D)).astype(np.float32))
+    prev_idx = jnp.asarray(rng.integers(0, 36, (B, 36)), dtype=jnp.int32)
+    offsets, _ = get_propagations("window", w)
+    win_pos, _ = window_warp_idx(prev_idx, offsets, 6, 6)
+
+    want_m, want_u = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
+                                     window_structured=True)
+    gather_ops.set_backend("pallas")
+    try:
+        got_m, got_u = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
+                                       window_structured=True)
+    finally:
+        gather_ops.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+
+
+def test_cascade_qtatt_structured_flag_is_inert(rng):
+    """window_structured only advertises candidate structure (for the Pallas
+    window kernels); the jnp cascade_qtatt_b path must be identical with or
+    without it.  (The patch-granular lax.gather alternative was removed: its
+    overlapping-window scatter-add transpose serializes on TPU and regressed
+    the train step — see the note in ops/quadtree.py.)"""
     import jax.numpy as jnp
     from casmtr_tpu.models.cascade_transformer import window_warp_idx
     from casmtr_tpu.ops.propagation import get_propagations
@@ -118,12 +214,9 @@ def test_cascade_patch_gather_equals_generic(rng, monkeypatch):
     offsets, _ = get_propagations("window", w)
     win_pos, _ = window_warp_idx(prev_idx, offsets, 6, 6)
 
-    monkeypatch.setenv("CASMTR_PATCH_GATHER", "0")
     m1, u1 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
-                             window_structured=True)
-    monkeypatch.setenv("CASMTR_PATCH_GATHER", "1")
+                             window_structured=False)
     m2, u2 = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
                              window_structured=True)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
