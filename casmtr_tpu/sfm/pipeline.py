@@ -1,0 +1,287 @@
+"""Keyframe-partitioned SfM pipeline over the matcher (north-star capability).
+
+The reference repo has no SfM engine; SURVEY.md §6 "North-star additions" /
+BASELINE.md specify one built ON TOP of the matcher: keyframe selection over
+an image sequence, pair-graph matching partitioned across hosts (the
+`get_local_split` scheme of data/loader.py, reference dataloader.py:6-23),
+cross-host aggregation of match results (parallel/comm.py, reference
+src/utils/comm.py:142-220 semantics), track building, chained two-view
+initialization with per-pair scale propagation (host RANSAC — per-pair CPU
+work exactly like the reference eval, src/utils/metrics.py:85-110), DLT
+triangulation, and the distributed Schur-complement BA in sfm/ba.py.
+
+Design notes (TPU-first):
+* The matcher is a black-box ``match_fn(i, j) -> (mkpts0, mkpts1, mconf)``
+  in pixel coords — batched/jitted device work lives behind it; everything
+  here is host-side orchestration (RANSAC/pose stays on host by design,
+  SURVEY.md §7 "RANSAC/pose off the accelerator").
+* Pair matching is embarrassingly parallel: each host matches its
+  deterministic slice of the pair graph and results are merged with the
+  pickled all_gather. BA observations are padded to a static capacity so the
+  LM loop jits once (`build_problem(max_obs=...)`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from casmtr_tpu.parallel import comm
+from casmtr_tpu.sfm import ba as ba_mod
+from casmtr_tpu.sfm import reconstruct as Rc
+from casmtr_tpu.sfm.geometry import rodrigues, triangulate
+from casmtr_tpu.utils.metrics import estimate_pose
+
+MatchFn = Callable[[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
+PairMatches = Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# keyframes & pair graph
+# ---------------------------------------------------------------------------
+
+def select_keyframes(n_frames: int, match_fn: MatchFn,
+                     min_matches: int = 100, max_gap: int = 8) -> List[int]:
+    """Adaptive keyframe selection: walk the sequence, promote frame ``i`` to
+    a keyframe when its match count to the previous keyframe drops below
+    ``min_matches`` (or the gap reaches ``max_gap``). Frame 0 and the last
+    frame are always keyframes."""
+    kfs = [0]
+    for i in range(1, n_frames):
+        mk0, _, _ = match_fn(kfs[-1], i)
+        if len(mk0) < min_matches or i - kfs[-1] >= max_gap:
+            kfs.append(i)
+    if kfs[-1] != n_frames - 1:
+        kfs.append(n_frames - 1)
+    return kfs
+
+
+def pair_graph(frames: Sequence[int],
+               overlaps: Sequence[int] = (1, 2)) -> List[Tuple[int, int]]:
+    """Covisibility pair list: (frames[a], frames[b]) for b-a in overlaps."""
+    pairs = []
+    for a in range(len(frames)):
+        for d in overlaps:
+            if a + d < len(frames):
+                pairs.append((frames[a], frames[a + d]))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# partitioned matching
+# ---------------------------------------------------------------------------
+
+def match_pairs(match_fn: MatchFn, pairs: Sequence[Tuple[int, int]],
+                min_conf: float = 0.0, seed: int = 66,
+                world: Optional[int] = None, rank: Optional[int] = None,
+                gather: Callable = comm.all_gather) -> PairMatches:
+    """Match a deterministic per-host slice of the pair graph and merge
+    results across hosts (first host wins on the padded duplicates that
+    `get_local_split` introduces when len(pairs) % world != 0)."""
+    from casmtr_tpu.data.loader import get_local_split
+    world = comm.get_world_size() if world is None else world
+    rank = comm.get_rank() if rank is None else rank
+    local = get_local_split(list(range(len(pairs))), world, rank, seed)
+    mine: PairMatches = {}
+    for pidx in local:
+        i, j = pairs[int(pidx)]
+        if (i, j) in mine:
+            continue
+        mk0, mk1, conf = match_fn(i, j)
+        keep = conf >= min_conf
+        mine[(i, j)] = (np.asarray(mk0)[keep], np.asarray(mk1)[keep],
+                        np.asarray(conf)[keep])
+    merged: PairMatches = {}
+    for part in gather(mine):
+        for key, val in part.items():
+            merged.setdefault(key, val)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# tracks
+# ---------------------------------------------------------------------------
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: Dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            p = self.parent[x] = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(matches: PairMatches, quant: float = 4.0,
+                 min_len: int = 2) -> Dict[int, List[Tuple[int, np.ndarray]]]:
+    """Union-find track building: keypoints are identified across pairs by
+    their quantized pixel cell (the coarse grid the matcher predicts on),
+    correspondences union the two nodes. Tracks observed in >= ``min_len``
+    distinct frames survive; one observation per frame (first wins — a
+    second hit in the same cell is the same coarse match)."""
+    uf = _UnionFind()
+    uv_of: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+    def node(frame, uv):
+        key = (frame, int(uv[0] // quant), int(uv[1] // quant))
+        uv_of.setdefault(key, np.asarray(uv, np.float64))
+        return key
+
+    for (i, j), (mk0, mk1, _) in matches.items():
+        for a in range(len(mk0)):
+            uf.union(node(i, mk0[a]), node(j, mk1[a]))
+    groups: Dict = {}
+    for key in uv_of:
+        groups.setdefault(uf.find(key), []).append(key)
+    tracks: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+    tid = 0
+    for members in groups.values():
+        seen_frames: Dict[int, np.ndarray] = {}
+        for key in sorted(members):
+            frame = key[0]
+            if frame not in seen_frames:
+                seen_frames[frame] = uv_of[key]
+        if len(seen_frames) >= min_len:
+            tracks[tid] = sorted(
+                (f, uv) for f, uv in seen_frames.items())
+            tid += 1
+    return tracks
+
+
+# ---------------------------------------------------------------------------
+# chained initialization with scale propagation
+# ---------------------------------------------------------------------------
+
+def _pair_pose(matches: PairMatches, i: int, j: int, K: np.ndarray,
+               thresh: float = 0.5):
+    mk0, mk1, _ = matches[(i, j)]
+    ret = estimate_pose(mk0.astype(np.float64), mk1.astype(np.float64),
+                        K, K, thresh)
+    if ret is None:
+        return np.eye(3), np.array([0.0, 0.0, 1e-3]), None
+    R, t, inl = ret
+    return R, t, inl
+
+
+def _median_depth(R, t, K, mk0, mk1) -> Tuple[np.ndarray, np.ndarray]:
+    """Triangulate pair matches (cam0 at identity); returns (pts_in_cam1,
+    uv1) for scale bookkeeping."""
+    P0 = K @ np.eye(3, 4)
+    P1 = K @ np.concatenate([R, t[:, None]], axis=1)
+    X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
+                               jnp.asarray(mk0), jnp.asarray(mk1)))
+    Xc1 = X @ R.T + t
+    return Xc1, mk1
+
+
+def chain_with_scale(matches: PairMatches, frames: Sequence[int],
+                     K: np.ndarray, thresh: float = 0.5, quant: float = 4.0):
+    """Monocular incremental chain: consecutive relative poses from RANSAC,
+    with each pair's unit-norm translation rescaled so that the depths of
+    keypoints shared between pair (a,b) and pair (b,c) agree in frame b
+    (median depth ratio — standard monocular VO scale propagation). The
+    first pair sets the global scale (ambiguity is inherent)."""
+    rel: List[Tuple[np.ndarray, np.ndarray]] = []
+    prev_depth: Optional[Dict[Tuple[int, int], float]] = None
+    for a in range(len(frames) - 1):
+        i, j = frames[a], frames[a + 1]
+        R, t, inl = _pair_pose(matches, i, j, K, thresh)
+        mk0, mk1, _ = matches[(i, j)]
+        if inl is not None:
+            mk0, mk1 = mk0[inl], mk1[inl]
+        scale = 1.0
+        if prev_depth and len(mk0) >= 8:
+            # shared cells in frame i: previous pair's cam-j == this pair's
+            # cam-i -> compare this pair's cam-i depths to previous depths
+            P0 = K @ np.eye(3, 4)
+            P1 = K @ np.concatenate([R, t[:, None]], axis=1)
+            X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
+                                       jnp.asarray(mk0), jnp.asarray(mk1)))
+            ratios = []
+            for idx in range(len(mk0)):
+                cell = (int(mk0[idx][0] // quant), int(mk0[idx][1] // quant))
+                d_prev = prev_depth.get(cell)
+                d_new = float(X[idx][2])
+                if d_prev is not None and d_new > 1e-6:
+                    ratios.append(d_prev / d_new)
+            if len(ratios) >= 5:
+                scale = float(np.median(ratios))
+        t = t * scale
+        rel.append((R, t))
+        Xc1, uv1 = _median_depth(R, t, K, mk0, mk1)
+        prev_depth = {}
+        for idx in range(len(uv1)):
+            if Xc1[idx][2] > 1e-6:
+                cell = (int(uv1[idx][0] // quant),
+                        int(uv1[idx][1] // quant))
+                prev_depth.setdefault(cell, float(Xc1[idx][2]))
+    return Rc.chain_poses(rel)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+class SfMResult(NamedTuple):
+    keyframes: List[int]
+    matches: PairMatches
+    tracks: Dict[int, List[Tuple[int, np.ndarray]]]
+    problem: ba_mod.BAProblem          # refined (post-BA)
+    init_Rs: np.ndarray                # chain init, world->cam
+    init_ts: np.ndarray
+    cost: float                        # final BA cost (sum sq reproj px)
+
+
+def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
+                         keyframes: Optional[Sequence[int]] = None,
+                         min_matches: int = 100, max_gap: int = 8,
+                         overlaps: Sequence[int] = (1, 2),
+                         min_conf: float = 0.0, ransac_thresh: float = 0.5,
+                         quant: float = 4.0, min_track_len: int = 2,
+                         ba_iters: int = 20,
+                         max_obs: Optional[int] = None) -> SfMResult:
+    """End-to-end: keyframes -> partitioned pair matching -> chained init
+    with scale propagation -> tracks -> triangulation -> Schur BA."""
+    if keyframes is None:
+        keyframes = select_keyframes(n_frames, match_fn,
+                                     min_matches=min_matches,
+                                     max_gap=max_gap)
+    keyframes = list(keyframes)
+    pairs = pair_graph(keyframes, overlaps)
+    matches = match_pairs(match_fn, pairs, min_conf=min_conf)
+    Rs, ts = chain_with_scale(matches, keyframes, K, thresh=ransac_thresh,
+                              quant=quant)
+    kf_index = {f: a for a, f in enumerate(keyframes)}
+    raw_tracks = build_tracks(matches, quant=quant, min_len=min_track_len)
+    tracks = {tid: [(kf_index[f], uv) for f, uv in views]
+              for tid, views in raw_tracks.items()}
+    if not tracks:
+        raise ValueError("no tracks survived — matcher produced too few "
+                         "consistent matches")
+    problem = Rc.build_problem(Rs, ts, K, tracks, max_obs=max_obs)
+    refined, cost = ba_mod.run_ba(problem, iters=ba_iters)
+    return SfMResult(keyframes=keyframes, matches=matches,
+                     tracks=raw_tracks, problem=refined,
+                     init_Rs=Rs, init_ts=ts, cost=float(cost))
+
+
+def model_match_fn(cfg, variables, paths: Sequence[str], resize: int = 640,
+                   thr: float = 0.2) -> MatchFn:
+    """Adapt the full matcher (cli/match_pair.py surface) to the pipeline's
+    ``match_fn(i, j)`` interface over a list of image paths."""
+    from casmtr_tpu.cli.match_pair import match_pair
+
+    def fn(i: int, j: int):
+        return match_pair(cfg, variables, paths[i], paths[j],
+                          resize=resize, thr=thr)
+
+    return fn
