@@ -53,8 +53,30 @@ def _residual_fn(cam6, X, uv, K):
     return project(cam6[:3], cam6[3:], X, K) - uv
 
 
-def _jacobians(p: BAProblem):
-    """Per-observation Jacobians J_c [N, 2, 6], J_p [N, 2, 3] and residuals."""
+def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weights for the Huber loss on the 2-vector residual norm:
+    w = 1 inside the delta tube, delta/||r|| outside. [N, 1]."""
+    n = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    return jnp.where(n <= delta, 1.0, delta / jnp.maximum(n, 1e-12))
+
+
+def robust_cost(p: BAProblem, huber_delta: Optional[float]) -> jnp.ndarray:
+    """Sum of rho(||r_n||): squared inside delta, linear outside; plain
+    squared cost when huber_delta is None."""
+    r = reprojection_residuals(p)
+    if huber_delta is None:
+        return (r ** 2).sum()
+    n = jnp.linalg.norm(r, axis=-1)
+    d = huber_delta
+    rho = jnp.where(n <= d, n ** 2, 2 * d * n - d * d)
+    return jnp.where(p.obs_valid, rho, 0.0).sum()
+
+
+def _jacobians(p: BAProblem, huber_delta: Optional[float] = None):
+    """Per-observation Jacobians J_c [N, 2, 6], J_p [N, 2, 3] and residuals.
+    With ``huber_delta``, residuals and Jacobians carry the sqrt of the IRLS
+    Huber weight (weights treated as constants within the step — standard
+    iteratively-reweighted Gauss-Newton)."""
     cams6 = jnp.concatenate([p.cam_rvec, p.cam_tvec], axis=-1)
 
     def one(ci, pi, uv):
@@ -66,19 +88,26 @@ def _jacobians(p: BAProblem):
         return r, Jc, Jp
 
     r, Jc, Jp = jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv)
+    if huber_delta is not None:
+        sw = jnp.sqrt(_huber_weights(r, huber_delta))
+        sw = jax.lax.stop_gradient(sw)
+        r = r * sw
+        Jc = Jc * sw[..., None]
+        Jp = Jp * sw[..., None]
     m = p.obs_valid[:, None]
     return (jnp.where(m, r, 0.0), jnp.where(m[..., None], Jc, 0.0),
             jnp.where(m[..., None], Jp, 0.0))
 
 
 def _schur_system(p: BAProblem, lam: jnp.ndarray,
-                  axis_name: Optional[str] = None):
+                  axis_name: Optional[str] = None,
+                  huber_delta: Optional[float] = None):
     """Build the reduced camera system (S [6C, 6C], b [6C]) and the point
     back-substitution operators. With ``axis_name``, (S, b) are psum'd across
     the mesh (each shard holding a disjoint set of observations/landmarks)."""
     C = p.cam_rvec.shape[0]
     P = p.points.shape[0]
-    r, Jc, Jp = _jacobians(p)
+    r, Jc, Jp = _jacobians(p, huber_delta)
 
     # camera-diagonal blocks: H_cc[c] = sum_obs Jc^T Jc
     Hcc = jax.ops.segment_sum(
@@ -118,13 +147,15 @@ def _schur_system(p: BAProblem, lam: jnp.ndarray,
 
 def lm_step(p: BAProblem, lam: jnp.ndarray,
             axis_name: Optional[str] = None,
-            fix_first_cam: bool = True) -> Tuple[BAProblem, jnp.ndarray]:
+            fix_first_cam: bool = True,
+            huber_delta: Optional[float] = None
+            ) -> Tuple[BAProblem, jnp.ndarray]:
     """One damped Gauss-Newton (LM) step. Returns (updated problem, new cost).
 
     fix_first_cam pins the gauge: camera 0's update is zeroed.
     """
     C = p.cam_rvec.shape[0]
-    S, b, (B, Vinv, g_p) = _schur_system(p, lam, axis_name)
+    S, b, (B, Vinv, g_p) = _schur_system(p, lam, axis_name, huber_delta)
 
     if fix_first_cam:
         # pin the first camera by zeroing its rows/cols + identity block
@@ -146,23 +177,28 @@ def lm_step(p: BAProblem, lam: jnp.ndarray,
         cam_rvec=p.cam_rvec + dc[:, :3],
         cam_tvec=p.cam_tvec + dc[:, 3:],
         points=p.points + dp)
-    cost = (reprojection_residuals(new) ** 2).sum()
+    cost = robust_cost(new, huber_delta)
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
     return new, cost
 
 
 def run_ba(p: BAProblem, iters: int = 20, lam0: float = 1e-3,
-           axis_name: Optional[str] = None) -> Tuple[BAProblem, jnp.ndarray]:
-    """LM loop with multiplicative damping adaptation (accept/reject)."""
+           axis_name: Optional[str] = None,
+           huber_delta: Optional[float] = None
+           ) -> Tuple[BAProblem, jnp.ndarray]:
+    """LM loop with multiplicative damping adaptation (accept/reject).
+
+    ``huber_delta`` (px) enables the Huber robust loss: IRLS-weighted
+    Gauss-Newton steps, accept/reject and the returned cost in rho units."""
 
     def cost_of(q):
-        c = (reprojection_residuals(q) ** 2).sum()
+        c = robust_cost(q, huber_delta)
         return jax.lax.psum(c, axis_name) if axis_name else c
 
     def body(carry, _):
         q, lam, cost = carry
-        q2, cost2 = lm_step(q, lam, axis_name)
+        q2, cost2 = lm_step(q, lam, axis_name, huber_delta=huber_delta)
         accept = cost2 < cost
         # select only the optimized leaves (keeps carry dtypes exact)
         q = q._replace(

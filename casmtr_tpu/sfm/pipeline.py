@@ -247,10 +247,12 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
                          overlaps: Sequence[int] = (1, 2),
                          min_conf: float = 0.0, ransac_thresh: float = 0.5,
                          quant: float = 4.0, min_track_len: int = 2,
-                         ba_iters: int = 20,
+                         ba_iters: int = 20, huber_delta: float = 3.0,
                          max_obs: Optional[int] = None) -> SfMResult:
     """End-to-end: keyframes -> partitioned pair matching -> chained init
-    with scale propagation -> tracks -> triangulation -> Schur BA."""
+    with scale propagation -> tracks -> triangulation -> robust Schur BA
+    (Huber, ``huber_delta`` px — wrong track merges become gross outliers;
+    pass None for plain least squares). ``cost`` is in rho units."""
     if keyframes is None:
         keyframes = select_keyframes(n_frames, match_fn,
                                      min_matches=min_matches,
@@ -268,7 +270,8 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
         raise ValueError("no tracks survived — matcher produced too few "
                          "consistent matches")
     problem = Rc.build_problem(Rs, ts, K, tracks, max_obs=max_obs)
-    refined, cost = ba_mod.run_ba(problem, iters=ba_iters)
+    refined, cost = ba_mod.run_ba(problem, iters=ba_iters,
+                                  huber_delta=huber_delta)
     return SfMResult(keyframes=keyframes, matches=matches,
                      tracks=raw_tracks, problem=refined,
                      init_Rs=Rs, init_ts=ts, cost=float(cost))

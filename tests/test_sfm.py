@@ -152,3 +152,39 @@ def test_chain_reconstruction_ate(rng):
     ate_after = Rc.ate_rmse(Rc.camera_centers(q), centers_gt)
     assert ate_after <= ate_before + 1e-6
     assert ate_after < 0.05
+
+
+def test_ba_huber_outlier_robustness(rng):
+    """Gross outlier observations wreck plain least-squares BA; the Huber
+    IRLS variant recovers camera translations to near the clean optimum."""
+    p = make_problem(rng, noise=0.3, perturb=0.02, C=4, P=60)
+    # corrupt 5% of observations by ~80 px
+    n = p.obs_uv.shape[0]
+    n_bad = n // 20
+    bad = rng.choice(n, n_bad, replace=False)
+    uv = np.asarray(p.obs_uv).copy()
+    uv[bad] += rng.normal(0, 80, (n_bad, 2))
+    p_bad = p._replace(obs_uv=jnp.asarray(uv.astype(np.float32)))
+
+    q_ls, _ = ba_mod.run_ba(p_bad, iters=15)
+    q_hb, _ = ba_mod.run_ba(p_bad, iters=15, huber_delta=2.0)
+
+    # compare against the clean-data fit via similarity-aligned ATE of
+    # camera centers (raw tvec diffs are dominated by the monocular scale
+    # gauge, which the outliers shift)
+    q_ref, _ = ba_mod.run_ba(p, iters=15)
+    c_ref = Rc.camera_centers(q_ref)
+    ate_ls = Rc.ate_rmse(Rc.camera_centers(q_ls), c_ref)
+    ate_hb = Rc.ate_rmse(Rc.camera_centers(q_hb), c_ref)
+    assert ate_hb < 0.25 * ate_ls, (ate_hb, ate_ls)
+    assert ate_hb < 0.02, ate_hb
+
+
+def test_ba_huber_equals_ls_inside_tube(rng):
+    """With all residuals far inside the delta tube, Huber == plain LS."""
+    p = make_problem(rng, noise=0.1, perturb=0.01)
+    q_ls, c_ls = ba_mod.run_ba(p, iters=10)
+    q_hb, c_hb = ba_mod.run_ba(p, iters=10, huber_delta=50.0)
+    np.testing.assert_allclose(np.asarray(q_hb.cam_tvec),
+                               np.asarray(q_ls.cam_tvec), atol=1e-5)
+    np.testing.assert_allclose(float(c_hb), float(c_ls), rtol=1e-5)
