@@ -161,9 +161,12 @@ def test_window_cross_attention_grad_parity(rng):
                                    rtol=5e-5, atol=5e-5, err_msg=f"d{name}")
 
 
-def test_cascade_qtatt_b_pallas_backend_uses_kernel(rng):
-    """cascade_qtatt_b under backend 'pallas' (window-structured corners from
-    window_warp_idx) == the generic gather path: same message and up_idx."""
+def test_cascade_qtatt_b_pallas_backend_uses_kernel(rng, monkeypatch):
+    """cascade_qtatt_b under backend 'pallas' + CASMTR_PALLAS_WINDOW_CROSS=1
+    (window-structured corners from window_warp_idx) == the generic gather
+    path: same message and up_idx. The env opt-in is required while the
+    kernel awaits its on-device parity run (gather_ops.py default '0')."""
+    monkeypatch.setenv("CASMTR_PALLAS_WINDOW_CROSS", "1")
     import jax.numpy as jnp
     from casmtr_tpu.models.cascade_transformer import window_warp_idx
     from casmtr_tpu.ops import gather_ops
@@ -184,6 +187,7 @@ def test_cascade_qtatt_b_pallas_backend_uses_kernel(rng):
                                      window_structured=True)
     gather_ops.set_backend("pallas")
     try:
+        assert gather_ops.use_pallas_window_cross()   # no silent fallback
         got_m, got_u = cascade_qtatt_b(q, k, v, win_pos, (H0, W0), (H0, W0),
                                        window_structured=True)
     finally:
