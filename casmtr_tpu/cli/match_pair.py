@@ -15,24 +15,38 @@ from casmtr_tpu.data.io import load_im_padding
 from casmtr_tpu.models import build_model
 
 
+def make_matcher(cfg, variables, resize: int = 1024, thr: float = 0.2):
+    """Build a reusable ``fn(path0, path1) -> (mkpts0, mkpts1, mconf)``.
+
+    The model apply is jitted ONCE and shared across calls: same-shaped
+    pairs (any sequence of same-size frames) hit the compile cache instead
+    of paying a retrace per pair (through the axon relay a retrace is a
+    multi-minute remote compile)."""
+    model = build_model(cfg.loftr)
+    apply_fn = jax.jit(lambda v, b: model.apply(v, b, train=False))
+
+    def fn(path0: str, path1: str):
+        img0, img1, mask0, mask1, scale0, scale1 = load_im_padding(
+            path0, path1, resize=resize, df=32)
+        batch = {
+            "image0": jnp.asarray(img0), "image1": jnp.asarray(img1),
+            "mask0": jnp.asarray(mask0), "mask1": jnp.asarray(mask1),
+            "scale0": jnp.asarray(scale0[None]),
+            "scale1": jnp.asarray(scale1[None]),
+        }
+        out = apply_fn(variables, batch)
+        fm = out.final_matches
+        valid = np.asarray(fm.valid) & (np.asarray(fm.mconf) > thr)
+        return (np.asarray(fm.mkpts0)[valid], np.asarray(fm.mkpts1)[valid],
+                np.asarray(fm.mconf)[valid])
+
+    return fn
+
+
 def match_pair(cfg, variables, path0: str, path1: str, resize: int = 1024,
                thr: float = 0.2):
     """Returns (mkpts0, mkpts1, mconf) in ORIGINAL image pixel coords."""
-    img0, img1, mask0, mask1, scale0, scale1 = load_im_padding(
-        path0, path1, resize=resize, df=32)
-    model = build_model(cfg.loftr)
-    batch = {
-        "image0": jnp.asarray(img0), "image1": jnp.asarray(img1),
-        "mask0": jnp.asarray(mask0), "mask1": jnp.asarray(mask1),
-        "scale0": jnp.asarray(scale0[None]),
-        "scale1": jnp.asarray(scale1[None]),
-    }
-    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables,
-                                                               batch)
-    fm = out.final_matches
-    valid = np.asarray(fm.valid) & (np.asarray(fm.mconf) > thr)
-    return (np.asarray(fm.mkpts0)[valid], np.asarray(fm.mkpts1)[valid],
-            np.asarray(fm.mconf)[valid])
+    return make_matcher(cfg, variables, resize=resize, thr=thr)(path0, path1)
 
 
 def main(argv=None):

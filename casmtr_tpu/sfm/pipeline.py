@@ -280,11 +280,12 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
 def model_match_fn(cfg, variables, paths: Sequence[str], resize: int = 640,
                    thr: float = 0.2) -> MatchFn:
     """Adapt the full matcher (cli/match_pair.py surface) to the pipeline's
-    ``match_fn(i, j)`` interface over a list of image paths."""
-    from casmtr_tpu.cli.match_pair import match_pair
+    ``match_fn(i, j)`` interface over a list of image paths. One jitted
+    apply is shared across all pairs (same-size frames compile once)."""
+    from casmtr_tpu.cli.match_pair import make_matcher
+    matcher = make_matcher(cfg, variables, resize=resize, thr=thr)
 
     def fn(i: int, j: int):
-        return match_pair(cfg, variables, paths[i], paths[j],
-                          resize=resize, thr=thr)
+        return matcher(paths[i], paths[j])
 
     return fn
