@@ -36,6 +36,9 @@ def main():
     p.add_argument("--backbone", choices=["twins", "resnet"], default="twins",
                    help="twins = the released outdoor 4c recipe (headline); "
                         "resnet = lighter comparison variant")
+    p.add_argument("--batch", type=int, default=1,
+                   help="pairs per step (throughput scaling; metric name "
+                        "gains a _b{N} suffix for N>1)")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -51,7 +54,7 @@ def main():
     model = CasMTR(cfg.loftr)
 
     rng = np.random.default_rng(0)
-    B = 1
+    B = args.batch
     batch = {
         "image0": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
         "image1": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
@@ -93,11 +96,14 @@ def main():
 
     metric = ("casmtr4c_twins_train_step_704" if args.backbone == "twins"
               else "casmtr4c_train_step_704")
+    if B > 1:
+        metric += f"_b{B}"
     print(json.dumps({
         "metric": metric,
         "value": round(dt, 4),
         "unit": "s/step",
-        "vs_baseline": round(BASELINE_S_PER_STEP / dt, 2),
+        # per-pair comparison: the reference baseline is per 1-pair step
+        "vs_baseline": round(BASELINE_S_PER_STEP / (dt / B), 2),
     }))
 
 

@@ -23,4 +23,7 @@ run bench_twins python bench.py --iters 10 --backbone twins
 run bench_resnet python bench.py --iters 10 --backbone resnet
 run bench_twins_wca env CASMTR_PALLAS_WINDOW_CROSS=1 \
     python bench.py --iters 10 --backbone twins
+# serving throughput: eval forward, single-pair and batched
+run eval_b1 python scripts/bench_eval_throughput.py --iters 20
+run eval_b4 python scripts/bench_eval_throughput.py --iters 10 --batch 4
 echo "ALL DONE"
