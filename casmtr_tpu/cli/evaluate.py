@@ -115,9 +115,26 @@ def main(argv=None):
     p.add_argument("--max-pairs", type=int, default=None)
     p.add_argument("--profiler", default=None)
     p.add_argument("--dump-dir", default=None)
+    p.add_argument("--thr", type=float, default=None,
+                   help="override the coarse matching threshold "
+                        "(reference test.py:36 --thr)")
+    p.add_argument("--img-size", type=int, default=None,
+                   help="override the test image resize "
+                        "(reference test.py:28 --test_img_size)")
+    p.add_argument("--overrides-json", default=None,
+                   help="inline JSON config overrides (applied last)")
     args = p.parse_args(argv)
 
-    cfg = build_config(args.model, args.data)
+    overrides = {}
+    if args.thr is not None:
+        overrides.setdefault("loftr", {}).setdefault(
+            "match_coarse", {})["thr"] = args.thr
+    if args.img_size is not None:
+        overrides["dataset"] = {"mgdpt_img_resize": args.img_size}
+    cfg = build_config(args.model, args.data, overrides or None)
+    if args.overrides_json:
+        from casmtr_tpu.config import override as cfg_override
+        cfg = cfg_override(cfg, json.loads(args.overrides_json))
     model = build_model(cfg.loftr)
     size = cfg.dataset.mgdpt_img_resize
     init_batch = {
