@@ -1,0 +1,222 @@
+"""Production serving API: a precompiled, fixed-bucket, batched matcher.
+
+The reference ships only a demo script (reference test_single_pair.py:26-104)
+that retraces per image geometry. For serving on TPU the compile is the
+expensive resource (a 704^2+ graph is a multi-minute remote compile), so this
+module fixes the geometry up front:
+
+- every image is resized so its LONG side fits a fixed square ``bucket``
+  canvas, padded bottom-right, and masked (the model's border masks ignore
+  the padding; ops/matching.py:116-139);
+- the forward is jitted ONCE per (bucket, batch) and reused for every call —
+  arbitrary input sizes and aspect ratios never retrace;
+- keypoints come back in ORIGINAL image pixel coordinates (the matching ops
+  apply the resize factors on device; ops/matching.py:169-170);
+- ``match_batch`` packs B pairs into one forward so the MXU amortizes
+  dispatch and small-kernel overheads across pairs.
+
+Checkpoints: pass an orbax directory or a released torch ``.ckpt`` (converted
+in memory, utils/convert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from casmtr_tpu.config import Config, override
+from casmtr_tpu.configs import build_config
+from casmtr_tpu.models import build_model
+
+ImageLike = Union[str, np.ndarray]
+
+
+class MatchResult(NamedTuple):
+    """Matches for one pair, in original image pixel coordinates."""
+    mkpts0: np.ndarray  # [N, 2] (x, y) in image0
+    mkpts1: np.ndarray  # [N, 2] (x, y) in image1
+    mconf: np.ndarray   # [N]
+
+
+def _to_rgb_array(img: ImageLike) -> np.ndarray:
+    """Accepts a path or an array ([H, W, 3] uint8/float, or [H, W] gray)."""
+    if isinstance(img, str):
+        import cv2
+        arr = cv2.imread(img, cv2.IMREAD_COLOR)
+        if arr is None:
+            raise FileNotFoundError(img)
+        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    else:
+        arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return arr.astype(np.float32)
+
+
+class Matcher:
+    """Precompiled image matcher at a fixed canvas size.
+
+    Example::
+
+        m = Matcher("outdoor_casmtr_4c", ckpt="CasMTR-4c.ckpt", bucket=832)
+        res = m.match("a.jpg", "b.jpg")          # MatchResult
+        results = m.match_batch([("a.jpg", "b.jpg"), (img2, img3)])
+
+    Parameters
+    ----------
+    model: recipe name (casmtr_tpu.configs.MODEL_RECIPES) or a built Config.
+    ckpt: orbax checkpoint dir or torch .ckpt/.pth (converted in memory).
+    bucket: square canvas side; every input is resized (long side) + padded
+        to this. One compile per distinct (bucket, batch size).
+    df: size divisor for the resize (backbone stride alignment).
+    thr: confidence threshold applied host-side to the returned matches.
+    overrides: optional config override dict (applied last).
+    """
+
+    def __init__(self, model: Union[str, Config] = "outdoor_casmtr_4c",
+                 ckpt: Optional[str] = None, bucket: int = 832, df: int = 64,
+                 thr: float = 0.2, overrides: Optional[Dict] = None,
+                 rng_seed: int = 0):
+        cfg = build_config(model) if isinstance(model, str) else model
+        if overrides:
+            cfg = override(cfg, overrides)
+        self.cfg = cfg
+        self.bucket = int(bucket)
+        self.df = int(df)
+        self.thr = float(thr)
+        self._model = build_model(cfg.loftr)
+        # per-batch-size applies: the fixed match capacity is GLOBAL across
+        # the flattened batch (ops/matching.py:162), so a B-pair forward
+        # scales every capacity by B to keep per-pair behavior identical to
+        # B=1. Params are capacity-independent, so one weight set serves all.
+        self._applies: Dict[int, Any] = {}
+
+        init_batch = {
+            "image0": jnp.zeros((1, self.bucket, self.bucket, 3), jnp.float32),
+            "image1": jnp.zeros((1, self.bucket, self.bucket, 3), jnp.float32),
+        }
+        variables = self._model.init(jax.random.PRNGKey(rng_seed), init_batch,
+                                     train=False)
+        if ckpt:
+            variables = self._load_ckpt(ckpt, variables)
+        self.variables = variables
+
+    def _get_apply(self, B: int):
+        """Jitted eval forward with match capacities scaled by B."""
+        if B not in self._applies:
+            lcfg = self.cfg.loftr
+            if B == 1:
+                model = self._model
+            else:
+                scaled = override(self.cfg, {"loftr": {
+                    "match_coarse": {
+                        "max_matches": lcfg.match_coarse.max_matches * B},
+                    "match_cascade": {
+                        "max_matches": tuple(
+                            m * B for m in lcfg.match_cascade.max_matches)},
+                }})
+                model = build_model(scaled.loftr)
+            self._applies[B] = jax.jit(
+                lambda v, b: self._strip(model.apply(v, b, train=False)))
+        return self._applies[B]
+
+    @staticmethod
+    def _strip(out):
+        fm = out.final_matches
+        return {"b_ids": fm.b_ids, "mkpts0": fm.mkpts0, "mkpts1": fm.mkpts1,
+                "mconf": fm.mconf, "valid": fm.valid}
+
+    def _load_ckpt(self, ckpt: str, variables):
+        if ckpt.endswith((".ckpt", ".pth")):
+            from casmtr_tpu.utils.convert import (convert_state_dict,
+                                                  load_torch_checkpoint)
+            variables, _ = convert_state_dict(load_torch_checkpoint(ckpt),
+                                              dict(variables))
+            return variables
+        from casmtr_tpu.train.checkpoints import CheckpointManager
+        restored = CheckpointManager(ckpt).restore(
+            target={"params": variables["params"]})
+        return {**variables, "params": restored["params"]}
+
+    # ---- preprocessing -------------------------------------------------
+
+    def _preprocess(self, img: ImageLike):
+        """Resize long side into the bucket (df-divisible), pad bottom-right.
+        Returns (canvas [S,S,3], mask [S,S] bool, scale [2] orig-px/model-px).
+        """
+        arr = _to_rgb_array(img)
+        h, w = arr.shape[:2]
+        s = self.bucket / max(h, w)
+        # df-divisible floor keeps the resized image inside the bucket
+        w_new = max(self.df, int(math.floor(w * s / self.df)) * self.df)
+        h_new = max(self.df, int(math.floor(h * s / self.df)) * self.df)
+        if (h_new, w_new) != (h, w):
+            import cv2
+            arr = cv2.resize(arr, (w_new, h_new))
+        S = self.bucket
+        canvas = np.zeros((S, S, 3), np.float32)
+        canvas[:h_new, :w_new] = arr
+        mask = np.zeros((S, S), bool)
+        mask[:h_new, :w_new] = True
+        scale = np.array([w / w_new, h / h_new], np.float32)
+        return canvas, mask, scale
+
+    def _pack(self, pairs: Sequence[Tuple[ImageLike, ImageLike]]):
+        b0, b1, m0, m1, s0, s1 = [], [], [], [], [], []
+        for img0, img1 in pairs:
+            c0, k0, sc0 = self._preprocess(img0)
+            c1, k1, sc1 = self._preprocess(img1)
+            b0.append(c0); b1.append(c1)
+            m0.append(k0); m1.append(k1)
+            s0.append(sc0); s1.append(sc1)
+        return {
+            "image0": jnp.asarray(np.stack(b0)),
+            "image1": jnp.asarray(np.stack(b1)),
+            "mask0": jnp.asarray(np.stack(m0)),
+            "mask1": jnp.asarray(np.stack(m1)),
+            "scale0": jnp.asarray(np.stack(s0)),
+            "scale1": jnp.asarray(np.stack(s1)),
+        }
+
+    # ---- matching ------------------------------------------------------
+
+    def match(self, img0: ImageLike, img1: ImageLike) -> MatchResult:
+        """Match one pair. Any input sizes; one compile per Matcher."""
+        return self.match_batch([(img0, img1)])[0]
+
+    def match_batch(self, pairs: Sequence[Tuple[ImageLike, ImageLike]]
+                    ) -> List[MatchResult]:
+        """Match B pairs in ONE forward. Each distinct B compiles once;
+        keep B fixed in a serving loop (pad with a repeated pair if needed).
+
+        Capacity note: selection is global top-(B*M) by confidence across
+        the batch (matching the training semantics); per-pair counts equal
+        the B=1 behavior whenever per-pair match counts stay below the
+        config's ``max_matches`` — size that config field for your scenes.
+        """
+        if not pairs:
+            return []
+        batch = self._pack(pairs)
+        out = self._get_apply(len(pairs))(self.variables, batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        keep = out["valid"] & (out["mconf"] >= self.thr)
+        results = []
+        for b in range(len(pairs)):
+            sel = keep & (out["b_ids"] == b)
+            results.append(MatchResult(out["mkpts0"][sel],
+                                       out["mkpts1"][sel],
+                                       out["mconf"][sel]))
+        return results
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
+        """Pay the compiles up front (serving cold-start control): run one
+        dummy batch per batch size."""
+        dummy = np.zeros((self.bucket // 2, self.bucket // 2, 3), np.float32)
+        for bs in batch_sizes:
+            self.match_batch([(dummy, dummy)] * bs)
