@@ -77,12 +77,16 @@ class Matcher:
     df: size divisor for the resize (backbone stride alignment).
     thr: confidence threshold applied host-side to the returned matches.
     overrides: optional config override dict (applied last).
+    mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — batches are
+        sharded over it (data-parallel serving: B pairs spread across chips
+        in ONE jitted forward, GSPMD inserts the collectives). B must be a
+        multiple of the mesh size.
     """
 
     def __init__(self, model: Union[str, Config] = "outdoor_casmtr_4c",
                  ckpt: Optional[str] = None, bucket: int = 832, df: int = 64,
                  thr: float = 0.2, overrides: Optional[Dict] = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, mesh=None):
         cfg = build_config(model) if isinstance(model, str) else model
         if overrides:
             cfg = override(cfg, overrides)
@@ -105,6 +109,10 @@ class Matcher:
                                      train=False)
         if ckpt:
             variables = self._load_ckpt(ckpt, variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from casmtr_tpu.parallel.mesh import replicate_state
+            variables = replicate_state(variables, mesh)
         self.variables = variables
 
     def _get_apply(self, B: int):
@@ -203,6 +211,13 @@ class Matcher:
         if not pairs:
             return []
         batch = self._pack(pairs)
+        if self.mesh is not None:
+            from casmtr_tpu.parallel.mesh import shard_batch
+            if len(pairs) % self.mesh.size != 0:
+                raise ValueError(
+                    f"batch {len(pairs)} not divisible by mesh size "
+                    f"{self.mesh.size}")
+            batch = shard_batch(batch, self.mesh)
         out = self._get_apply(len(pairs))(self.variables, batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         keep = out["valid"] & (out["mconf"] >= self.thr)

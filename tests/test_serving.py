@@ -73,6 +73,33 @@ def test_batched_matches_equal_single(matcher):
                                    atol=1e-5)
 
 
+def test_mesh_sharded_serving_matches_single_device(matcher):
+    """B=8 pairs sharded over the 8-device mesh reproduce the unsharded
+    results (data-parallel serving)."""
+    from casmtr_tpu.parallel.mesh import make_mesh
+    from casmtr_tpu.serving import Matcher
+
+    rng = np.random.default_rng(3)
+    pairs = [(_img(rng, 48, 40), _img(rng, 56, 64)) for _ in range(8)]
+
+    sharded = Matcher("outdoor_casmtr_4c", bucket=64, df=32, thr=0.0,
+                      overrides=_tiny_overrides(), mesh=make_mesh(8))
+    sharded.variables = matcher.variables  # same weights
+    with pytest.raises(ValueError):
+        sharded.match_batch(pairs[:3])
+
+    res_s = sharded.match_batch(pairs)
+    res_u = matcher.match_batch(pairs)
+    for s, u in zip(res_s, res_u):
+        assert len(s.mkpts0) == len(u.mkpts0)
+        order_s = np.lexsort(s.mkpts0.T)
+        order_u = np.lexsort(u.mkpts0.T)
+        np.testing.assert_allclose(s.mkpts0[order_s], u.mkpts0[order_u],
+                                   atol=1e-4)
+        np.testing.assert_allclose(s.mconf[order_s], u.mconf[order_u],
+                                   atol=1e-5)
+
+
 def test_empty_and_threshold(matcher):
     assert matcher.match_batch([]) == []
     rng = np.random.default_rng(2)
