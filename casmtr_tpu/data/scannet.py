@@ -22,6 +22,10 @@ class ScanNetDataset:
         self.is_rgb = is_rgb
         with np.load(npz_path) as data:
             self.data_names = data["name"]
+            # NOTE: the reference's guard is `mode not in ['val' or 'test']`
+            # (scannet.py:44) which evaluates to ['val'] — i.e. it score-
+            # filters during TEST too. Released test npzs carry no 'score'
+            # field so behavior coincides; we keep the intended semantics.
             if "score" in data.files and mode not in ("val", "test"):
                 self.data_names = self.data_names[
                     data["score"] > min_overlap_score]

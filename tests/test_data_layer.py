@@ -132,3 +132,58 @@ def test_native_image_ops_parity():
     g = (rng.random((50, 50, 1)) * 255).astype(np.uint8)
     canvas, _ = resize_pad_normalize(g, 25, 25, 32)
     assert np.allclose(canvas[..., 0], canvas[..., 1])
+
+
+def make_fake_scannet(tmp_path, scene="scene0000_00", n_images=4, n_pairs=4):
+    """Write a ScanNet-layout scene: color jpgs, depth pngs (mm uint16),
+    pose txts, a pair npz, and the shared intrinsics npz."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "scans"
+    sdir = root / scene
+    for sub in ("color", "depth", "pose"):
+        (sdir / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(n_images):
+        img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(sdir / "color" / f"{i}.jpg"), img)
+        depth_mm = (rng.random((480, 640)) * 3000 + 500).astype(np.uint16)
+        cv2.imwrite(str(sdir / "depth" / f"{i}.png"), depth_mm)
+        T = np.eye(4)
+        T[0, 3] = 0.1 * i  # camera-to-world
+        np.savetxt(sdir / "pose" / f"{i}.txt", T, delimiter=" ")
+    names = np.array([(0, 0, i % n_images, (i + 1) % n_images)
+                      for i in range(n_pairs)])
+    scores = np.linspace(0.1, 0.9, n_pairs)
+    npz = tmp_path / "scene0000_00.npz"
+    np.savez(npz, name=names, score=scores)
+    K = np.array([[578.0, 0, 319.5], [0, 578.0, 239.5], [0, 0, 1]])
+    intr = tmp_path / "intrinsics.npz"
+    np.savez(intr, **{scene: K})
+    return str(root), str(npz), str(intr)
+
+
+def test_scannet_dataset(tmp_path):
+    from casmtr_tpu.data.scannet import ScanNetDataset
+
+    root, npz, intr = make_fake_scannet(tmp_path, n_pairs=4)
+    ds = ScanNetDataset(root, npz, intr, mode="train",
+                        min_overlap_score=0.4)
+    # train mode score-filters (scores 0.1, 0.37, 0.63, 0.9 -> keep 2)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image0"].shape == (480, 640, 3)
+    assert s["image0"].dtype == np.float32 and s["image0"].max() <= 1.0
+    assert s["depth0"].shape == (480, 640)
+    # depth is metres (source pngs are 500-3500 mm)
+    assert 0.4 < s["depth0"].min() and s["depth0"].max() < 3.6
+    np.testing.assert_allclose(s["K0"], s["K1"])
+    # poses: world2cam_1 @ cam2world_0; translations 0.1*i give -0.1 shift
+    np.testing.assert_allclose(s["T_0to1"] @ s["T_1to0"], np.eye(4),
+                               atol=1e-6)
+    assert s["T_0to1"][0, 3] != 0.0
+    assert s["dataset_name"] == "ScanNet"
+    assert s["pair_names"][0].endswith(".jpg")
+
+    # test mode: no score filter, empty depths
+    ds_test = ScanNetDataset(root, npz, intr, mode="test")
+    assert len(ds_test) == 4
+    assert ds_test[0]["depth0"].size == 0
