@@ -21,7 +21,6 @@ in memory, utils/convert.py).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
@@ -43,20 +42,25 @@ class MatchResult(NamedTuple):
 
 
 def _to_rgb_array(img: ImageLike) -> np.ndarray:
-    """Accepts a path or an array ([H, W, 3] uint8/float, or [H, W] gray)."""
+    """Accepts a path or an array: [H, W] gray, [H, W, 3] RGB, or [H, W, 4]
+    RGBA (alpha dropped); uint8 in [0, 255] or float (rescaled if it looks
+    like a 0-255 range)."""
     if isinstance(img, str):
-        import cv2
-        arr = cv2.imread(img, cv2.IMREAD_COLOR)
-        if arr is None:
-            raise FileNotFoundError(img)
-        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
-    else:
-        arr = np.asarray(img)
+        from casmtr_tpu.data.io import _imread
+        return _imread(img, gray=False).astype(np.float32) / 255.0
+    arr = np.asarray(img)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected [H,W], [H,W,3] or [H,W,4], got {arr.shape}")
     if arr.dtype == np.uint8:
-        arr = arr.astype(np.float32) / 255.0
-    return arr.astype(np.float32)
+        return arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    if arr.max(initial=0.0) > 1.5:  # float image still on the 0-255 scale
+        arr = arr / 255.0
+    return arr
 
 
 class Matcher:
@@ -93,20 +97,27 @@ class Matcher:
         self.cfg = cfg
         self.bucket = int(bucket)
         self.df = int(df)
+        if self.bucket < self.df or self.bucket % self.df != 0:
+            raise ValueError(f"bucket {bucket} must be a multiple of df {df}")
         self.thr = float(thr)
         self._model = build_model(cfg.loftr)
         # per-batch-size applies: the fixed match capacity is GLOBAL across
         # the flattened batch (ops/matching.py:162), so a B-pair forward
-        # scales every capacity by B to keep per-pair behavior identical to
-        # B=1. Params are capacity-independent, so one weight set serves all.
+        # scales every capacity by B. Per-pair results equal B=1 as long as
+        # no single pair saturates the config's max_matches (see match_batch
+        # docstring). Params are capacity-independent: one weight set serves
+        # every batch size.
         self._applies: Dict[int, Any] = {}
 
         init_batch = {
             "image0": jnp.zeros((1, self.bucket, self.bucket, 3), jnp.float32),
             "image1": jnp.zeros((1, self.bucket, self.bucket, 3), jnp.float32),
         }
-        variables = self._model.init(jax.random.PRNGKey(rng_seed), init_batch,
-                                     train=False)
+        # jit the init: one compiled graph (persistently cached) instead of
+        # dispatching the whole bucket-resolution forward op by op
+        variables = jax.jit(
+            lambda rng: self._model.init(rng, init_batch, train=False)
+        )(jax.random.PRNGKey(rng_seed))
         if ckpt:
             variables = self._load_ckpt(ckpt, variables)
         self.mesh = mesh
@@ -158,12 +169,15 @@ class Matcher:
         """Resize long side into the bucket (df-divisible), pad bottom-right.
         Returns (canvas [S,S,3], mask [S,S] bool, scale [2] orig-px/model-px).
         """
+        from casmtr_tpu.data.io import get_divisible_wh
+
         arr = _to_rgb_array(img)
         h, w = arr.shape[:2]
         s = self.bucket / max(h, w)
         # df-divisible floor keeps the resized image inside the bucket
-        w_new = max(self.df, int(math.floor(w * s / self.df)) * self.df)
-        h_new = max(self.df, int(math.floor(h * s / self.df)) * self.df)
+        w_new, h_new = get_divisible_wh(int(round(w * s)), int(round(h * s)),
+                                        self.df)
+        w_new, h_new = max(self.df, w_new), max(self.df, h_new)
         if (h_new, w_new) != (h, w):
             import cv2
             arr = cv2.resize(arr, (w_new, h_new))
@@ -183,13 +197,11 @@ class Matcher:
             b0.append(c0); b1.append(c1)
             m0.append(k0); m1.append(k1)
             s0.append(sc0); s1.append(sc1)
+        # numpy until placement: mesh serving device_puts exactly once
         return {
-            "image0": jnp.asarray(np.stack(b0)),
-            "image1": jnp.asarray(np.stack(b1)),
-            "mask0": jnp.asarray(np.stack(m0)),
-            "mask1": jnp.asarray(np.stack(m1)),
-            "scale0": jnp.asarray(np.stack(s0)),
-            "scale1": jnp.asarray(np.stack(s1)),
+            "image0": np.stack(b0), "image1": np.stack(b1),
+            "mask0": np.stack(m0), "mask1": np.stack(m1),
+            "scale0": np.stack(s0), "scale1": np.stack(s1),
         }
 
     # ---- matching ------------------------------------------------------
@@ -231,7 +243,10 @@ class Matcher:
 
     def warmup(self, batch_sizes: Sequence[int] = (1,)) -> None:
         """Pay the compiles up front (serving cold-start control): run one
-        dummy batch per batch size."""
+        dummy batch per batch size. Under mesh serving, each size is rounded
+        up to the next mesh-size multiple (the only sizes that can run)."""
         dummy = np.zeros((self.bucket // 2, self.bucket // 2, 3), np.float32)
         for bs in batch_sizes:
+            if self.mesh is not None:
+                bs = -(-bs // self.mesh.size) * self.mesh.size
             self.match_batch([(dummy, dummy)] * bs)

@@ -5,4 +5,4 @@ cd "$(dirname "$0")/../.."
 python -m casmtr_tpu.cli.train \
   --model outdoor_casmtr_2c --data megadepth_trainval_704 \
   --run-dir runs/casmtr-2c-stage1 \
-  --stage 1 --batch-size 1 --epochs 8 --num-workers 8
+  --stage 1 --batch-size 2 --epochs 8 --num-workers 8

@@ -47,9 +47,16 @@ def test_match_returns_original_coords_and_one_compile(matcher):
     assert res.mkpts0[:, 0].max() <= 40 and res.mkpts0[:, 1].max() <= 48
     assert res.mkpts1[:, 0].max() <= 64 and res.mkpts1[:, 1].max() <= 56
 
-    # wildly different input geometry -> same compiled graph
+    # wildly different input geometry -> identical packed shapes, so the
+    # jitted graph is reused rather than retraced
+    pack_a = matcher._pack([(_img(rng, 48, 40), _img(rng, 56, 64))])
+    pack_b = matcher._pack([(_img(rng, 100, 30), _img(rng, 33, 77))])
+    assert {k: v.shape for k, v in pack_a.items()} == \
+           {k: v.shape for k, v in pack_b.items()}
     matcher.match(_img(rng, 100, 30), _img(rng, 33, 77))
-    assert matcher._get_apply(1)._cache_size() == 1
+    apply = matcher._get_apply(1)
+    if hasattr(apply, "_cache_size"):  # jax-internal, best-effort
+        assert apply._cache_size() == 1
 
 
 def test_batched_matches_equal_single(matcher):
