@@ -143,18 +143,8 @@ def main(argv=None):
     }
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
     if args.ckpt:
-        if args.ckpt.endswith((".ckpt", ".pth")):
-            from casmtr_tpu.utils.convert import (convert_state_dict,
-                                                  load_torch_checkpoint)
-            sd = load_torch_checkpoint(args.ckpt)
-            variables, report = convert_state_dict(sd, dict(variables))
-            print(f"converted: {len(report['missing'])} missing, "
-                  f"{len(report['unused'])} unused")
-        else:
-            from casmtr_tpu.train.checkpoints import CheckpointManager
-            mgr = CheckpointManager(args.ckpt)
-            restored = mgr.restore(target={"params": variables["params"]})
-            variables = {**variables, "params": restored["params"]}
+        from casmtr_tpu.train.checkpoints import load_checkpoint_variables
+        variables = load_checkpoint_variables(args.ckpt, variables)
 
     results = run_eval(cfg, variables, max_pairs=args.max_pairs,
                        profiler_name=args.profiler, dump_dir=args.dump_dir)

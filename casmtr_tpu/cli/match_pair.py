@@ -74,11 +74,8 @@ def main(argv=None):
     init_batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
     if args.ckpt:
-        from casmtr_tpu.utils.convert import (convert_state_dict,
-                                              load_torch_checkpoint)
-        variables, report = convert_state_dict(
-            load_torch_checkpoint(args.ckpt), dict(variables))
-        print(f"converted ckpt ({len(report['missing'])} missing keys)")
+        from casmtr_tpu.train.checkpoints import load_checkpoint_variables
+        variables = load_checkpoint_variables(args.ckpt, variables)
 
     mk0, mk1, mconf = match_pair(cfg, variables, args.img0, args.img1,
                                  resize=args.resize, thr=args.thr)

@@ -83,11 +83,8 @@ def main(argv=None):
                            {"image0": jnp.asarray(img0),
                             "image1": jnp.asarray(img1)}, train=False)
     if args.ckpt:
-        from casmtr_tpu.utils.convert import (convert_state_dict,
-                                              load_torch_checkpoint)
-        variables, report = convert_state_dict(
-            load_torch_checkpoint(args.ckpt), dict(variables))
-        print(f"converted ckpt ({len(report['missing'])} missing keys)")
+        from casmtr_tpu.train.checkpoints import load_checkpoint_variables
+        variables = load_checkpoint_variables(args.ckpt, variables)
 
     K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1]])
     match_fn = pl.model_match_fn(cfg, variables, paths, resize=args.resize,

@@ -152,16 +152,8 @@ class Matcher:
                 "mconf": fm.mconf, "valid": fm.valid}
 
     def _load_ckpt(self, ckpt: str, variables):
-        if ckpt.endswith((".ckpt", ".pth")):
-            from casmtr_tpu.utils.convert import (convert_state_dict,
-                                                  load_torch_checkpoint)
-            variables, _ = convert_state_dict(load_torch_checkpoint(ckpt),
-                                              dict(variables))
-            return variables
-        from casmtr_tpu.train.checkpoints import CheckpointManager
-        restored = CheckpointManager(ckpt).restore(
-            target={"params": variables["params"]})
-        return {**variables, "params": restored["params"]}
+        from casmtr_tpu.train.checkpoints import load_checkpoint_variables
+        return load_checkpoint_variables(ckpt, variables)
 
     # ---- preprocessing -------------------------------------------------
 

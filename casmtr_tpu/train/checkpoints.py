@@ -67,3 +67,33 @@ def load_into_state(restored, state):
         return old
 
     return merge(state, restored)
+
+
+def load_checkpoint_variables(path: str, variables: Dict) -> Dict:
+    """Load model weights into ``variables`` from either a released torch
+    .ckpt/.pth (converted in memory) or a native orbax directory.
+
+    The orbax path restores WITHOUT a target (train checkpoints carry
+    params/batch_stats/opt_state/step; a params-only target tree makes
+    orbax raise a structure mismatch) and non-strictly merges params AND
+    batch_stats — dropping batch_stats would silently evaluate with
+    fresh-init BN statistics."""
+    if path.endswith((".ckpt", ".pth")):
+        from casmtr_tpu.utils.convert import (convert_state_dict,
+                                              load_torch_checkpoint)
+        variables, report = convert_state_dict(load_torch_checkpoint(path),
+                                               dict(variables))
+        print(f"converted torch checkpoint: {len(report['missing'])} "
+              f"missing, {len(report['unused'])} unused keys")
+        return variables
+    restored = CheckpointManager(path).restore()
+    if restored is None:
+        raise FileNotFoundError(f"no orbax checkpoint found in {path}")
+    out = dict(variables)
+    out["params"] = load_into_state(restored.get("params"),
+                                    variables["params"])
+    if variables.get("batch_stats") is not None \
+            and restored.get("batch_stats") is not None:
+        out["batch_stats"] = load_into_state(restored["batch_stats"],
+                                             variables["batch_stats"])
+    return out
