@@ -56,6 +56,8 @@ def main(argv=None):
                         "selection)")
     p.add_argument("--out", default="recon.json")
     p.add_argument("--ply", default=None)
+    p.add_argument("--overrides-json", default=None,
+                   help="inline JSON config overrides (applied last)")
     args = p.parse_args(argv)
 
     exts = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
@@ -76,6 +78,10 @@ def main(argv=None):
     from casmtr_tpu.sfm.geometry import rodrigues
 
     cfg = build_config(args.model)
+    if args.overrides_json:
+        import json as _json
+        from casmtr_tpu.config import override
+        cfg = override(cfg, _json.loads(args.overrides_json))
     model = build_model(cfg.loftr)
     img0, img1, *_ = load_im_padding(paths[0], paths[1], resize=args.resize,
                                      df=32)

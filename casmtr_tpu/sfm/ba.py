@@ -165,13 +165,11 @@ def lm_step(p: BAProblem, lam: jnp.ndarray,
 
     dc = jnp.linalg.solve(S, b).reshape(C, 6)
 
-    # back-substitute landmarks: dp = Vinv (g_p - sum_c B^T dc)
+    # back-substitute landmarks: dp = Vinv (g_p - sum_c B^T dc). Under
+    # shard_map each shard owns its landmarks; dp for foreign landmarks is
+    # zero because their B/g_p contributions are zero on this shard.
     rhs = g_p - jnp.einsum("pcij,ci->pj", B, dc)
     dp = jnp.einsum("pjk,pk->pj", Vinv, rhs)
-    if axis_name is not None:
-        # each shard owns its landmarks; dp for foreign landmarks is zero
-        # because their B/g_p contributions are zero on this shard
-        pass
 
     new = p._replace(
         cam_rvec=p.cam_rvec + dc[:, :3],

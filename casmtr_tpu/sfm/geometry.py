@@ -55,23 +55,31 @@ def triangulate(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
         ])
         _, _, vt = jnp.linalg.svd(A)
         X = vt[-1]
-        return X[:3] / X[3]
+        # sign-preserving clamp: degenerate pairs (near-zero baseline /
+        # pure rotation) give X[3] ~ 0 — keep the point finite so downstream
+        # costs stay finite (cheirality masking rejects it later)
+        w = X[3]
+        w = jnp.where(w >= 0, jnp.maximum(w, 1e-12), jnp.minimum(w, -1e-12))
+        return X[:3] / w
 
     return jax.vmap(one)(uv0, uv1)
 
 
-def compose_pose(rvec_a, t_a, rvec_b, t_b):
-    """Pose composition: world->a then a->b, returning world->b as matrices.
-    Returns (R, t) with R = R_b R_a, t = R_b t_a + t_b."""
-    Ra, Rb = rodrigues(rvec_a), rodrigues(rvec_b)
-    return Rb @ Ra, Rb @ t_a + t_b
-
-
 def rotation_to_rvec(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle [3] (principal branch)."""
+    """Rotation matrix -> axis-angle [3] (principal branch), including the
+    theta ~ pi branch where the skew-part axis vanishes."""
     cos = jnp.clip((jnp.trace(R) - 1) / 2, -1.0, 1.0)
     theta = jnp.arccos(cos)
-    axis = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+    skew = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                       R[1, 0] - R[0, 1]])
-    s = jnp.maximum(jnp.linalg.norm(axis), 1e-12)
-    return axis / s * theta
+    s = jnp.maximum(jnp.linalg.norm(skew), 1e-12)
+    axis_generic = skew / s
+    # theta ~ pi: R ~ 2 a a^T - I, so a^2 from the diagonal; signs from the
+    # column of (R + I) with the largest diagonal (sign ambiguity at exactly
+    # pi is inherent: +/-a encode the same rotation)
+    B = R + jnp.eye(3)
+    k = jnp.argmax(jnp.diag(B))
+    col = B[:, k]
+    axis_pi = col / jnp.maximum(jnp.linalg.norm(col), 1e-12)
+    axis = jnp.where(theta > jnp.pi - 1e-3, axis_pi, axis_generic)
+    return axis * theta

@@ -23,6 +23,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,7 +33,7 @@ import jax.numpy as jnp
 from casmtr_tpu.parallel import comm
 from casmtr_tpu.sfm import ba as ba_mod
 from casmtr_tpu.sfm import reconstruct as Rc
-from casmtr_tpu.sfm.geometry import rodrigues, triangulate
+from casmtr_tpu.sfm.geometry import triangulate
 from casmtr_tpu.utils.metrics import estimate_pose
 
 MatchFn = Callable[[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
@@ -44,16 +45,39 @@ PairMatches = Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]]
 # ---------------------------------------------------------------------------
 
 def select_keyframes(n_frames: int, match_fn: MatchFn,
-                     min_matches: int = 100, max_gap: int = 8) -> List[int]:
-    """Adaptive keyframe selection: walk the sequence, promote frame ``i`` to
-    a keyframe when its match count to the previous keyframe drops below
-    ``min_matches`` (or the gap reaches ``max_gap``). Frame 0 and the last
-    frame are always keyframes."""
+                     min_matches: int = 100, max_gap: int = 8,
+                     cache: Optional[PairMatches] = None) -> List[int]:
+    """Adaptive keyframe selection: walk the sequence; when frame ``i``'s
+    match count to the last keyframe drops below ``min_matches``, promote the
+    LAST frame that still matched well (so consecutive keyframe pairs stay
+    above the threshold) and re-evaluate ``i`` against it; promote ``i``
+    directly only when no such frame exists. A gap of ``max_gap`` also
+    promotes. Frame 0 and the last frame are always keyframes.
+
+    ``cache`` (optional dict) collects every computed match result keyed by
+    (frame_i, frame_j) so the pair-graph matching can reuse them."""
+    cache = cache if cache is not None else {}
     kfs = [0]
-    for i in range(1, n_frames):
-        mk0, _, _ = match_fn(kfs[-1], i)
-        if len(mk0) < min_matches or i - kfs[-1] >= max_gap:
+    last_good: Optional[int] = None
+    i = 1
+    while i < n_frames:
+        key = (kfs[-1], i)
+        if key not in cache:
+            cache[key] = tuple(np.asarray(a) for a in match_fn(kfs[-1], i))
+        n_match = len(cache[key][0])
+        if n_match < min_matches:
+            if last_good is not None and last_good != kfs[-1]:
+                kfs.append(last_good)   # the last well-matched frame
+                last_good = None
+                continue                # re-evaluate i vs the new keyframe
             kfs.append(i)
+            last_good = None
+        elif i - kfs[-1] >= max_gap:
+            kfs.append(i)
+            last_good = None
+        else:
+            last_good = i
+        i += 1
     if kfs[-1] != n_frames - 1:
         kfs.append(n_frames - 1)
     return kfs
@@ -77,21 +101,25 @@ def pair_graph(frames: Sequence[int],
 def match_pairs(match_fn: MatchFn, pairs: Sequence[Tuple[int, int]],
                 min_conf: float = 0.0, seed: int = 66,
                 world: Optional[int] = None, rank: Optional[int] = None,
-                gather: Callable = comm.all_gather) -> PairMatches:
+                gather: Callable = comm.all_gather,
+                precomputed: Optional[PairMatches] = None) -> PairMatches:
     """Match a deterministic per-host slice of the pair graph and merge
     results across hosts (first host wins on the padded duplicates that
-    `get_local_split` introduces when len(pairs) % world != 0)."""
+    `get_local_split` introduces when len(pairs) % world != 0).
+    ``precomputed`` results (e.g. from keyframe selection) are reused
+    instead of re-running the model forward."""
     from casmtr_tpu.data.loader import get_local_split
     world = comm.get_world_size() if world is None else world
     rank = comm.get_rank() if rank is None else rank
+    precomputed = precomputed or {}
     local = get_local_split(list(range(len(pairs))), world, rank, seed)
     mine: PairMatches = {}
     for pidx in local:
         i, j = pairs[int(pidx)]
         if (i, j) in mine:
             continue
-        mk0, mk1, conf = match_fn(i, j)
-        keep = conf >= min_conf
+        mk0, mk1, conf = precomputed.get((i, j)) or match_fn(i, j)
+        keep = np.asarray(conf) >= min_conf
         mine[(i, j)] = (np.asarray(mk0)[keep], np.asarray(mk1)[keep],
                         np.asarray(conf)[keep])
     merged: PairMatches = {}
@@ -167,20 +195,13 @@ def _pair_pose(matches: PairMatches, i: int, j: int, K: np.ndarray,
     ret = estimate_pose(mk0.astype(np.float64), mk1.astype(np.float64),
                         K, K, thresh)
     if ret is None:
+        warnings.warn(
+            f"RANSAC pose failed for keyframe pair ({i}, {j}) "
+            f"({len(mk0)} matches) — inserting a near-identity fallback; "
+            f"the trajectory past frame {i} is unreliable", RuntimeWarning)
         return np.eye(3), np.array([0.0, 0.0, 1e-3]), None
     R, t, inl = ret
     return R, t, inl
-
-
-def _median_depth(R, t, K, mk0, mk1) -> Tuple[np.ndarray, np.ndarray]:
-    """Triangulate pair matches (cam0 at identity); returns (pts_in_cam1,
-    uv1) for scale bookkeeping."""
-    P0 = K @ np.eye(3, 4)
-    P1 = K @ np.concatenate([R, t[:, None]], axis=1)
-    X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
-                               jnp.asarray(mk0), jnp.asarray(mk1)))
-    Xc1 = X @ R.T + t
-    return Xc1, mk1
 
 
 def chain_with_scale(matches: PairMatches, frames: Sequence[int],
@@ -198,14 +219,18 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
         mk0, mk1, _ = matches[(i, j)]
         if inl is not None:
             mk0, mk1 = mk0[inl], mk1[inl]
-        scale = 1.0
-        if prev_depth and len(mk0) >= 8:
-            # shared cells in frame i: previous pair's cam-j == this pair's
-            # cam-i -> compare this pair's cam-i depths to previous depths
+        # one DLT pass per pair at unit baseline; depths scale linearly with
+        # the baseline, so the rescaled cam-1 points are scale * (X R^T + t)
+        X = None
+        if len(mk0) > 0:
             P0 = K @ np.eye(3, 4)
             P1 = K @ np.concatenate([R, t[:, None]], axis=1)
             X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
                                        jnp.asarray(mk0), jnp.asarray(mk1)))
+        scale = 1.0
+        if prev_depth and X is not None and len(mk0) >= 8:
+            # shared cells in frame i: previous pair's cam-j == this pair's
+            # cam-i -> compare this pair's cam-i depths to previous depths
             ratios = []
             for idx in range(len(mk0)):
                 cell = (int(mk0[idx][0] // quant), int(mk0[idx][1] // quant))
@@ -217,13 +242,14 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
                 scale = float(np.median(ratios))
         t = t * scale
         rel.append((R, t))
-        Xc1, uv1 = _median_depth(R, t, K, mk0, mk1)
         prev_depth = {}
-        for idx in range(len(uv1)):
-            if Xc1[idx][2] > 1e-6:
-                cell = (int(uv1[idx][0] // quant),
-                        int(uv1[idx][1] // quant))
-                prev_depth.setdefault(cell, float(Xc1[idx][2]))
+        if X is not None:
+            Xc1 = scale * (X @ R.T) + t  # == (scale X) R^T + t_scaled
+            for idx in range(len(mk1)):
+                if Xc1[idx][2] > 1e-6:
+                    cell = (int(mk1[idx][0] // quant),
+                            int(mk1[idx][1] // quant))
+                    prev_depth.setdefault(cell, float(Xc1[idx][2]))
     return Rc.chain_poses(rel)
 
 
@@ -253,13 +279,19 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
     with scale propagation -> tracks -> triangulation -> robust Schur BA
     (Huber, ``huber_delta`` px — wrong track merges become gross outliers;
     pass None for plain least squares). ``cost`` is in rho units."""
+    if 1 not in overlaps:
+        raise ValueError("overlaps must include 1: the chained "
+                         "initialization needs every consecutive keyframe "
+                         f"pair (got {tuple(overlaps)})")
+    cache: PairMatches = {}
     if keyframes is None:
         keyframes = select_keyframes(n_frames, match_fn,
                                      min_matches=min_matches,
-                                     max_gap=max_gap)
+                                     max_gap=max_gap, cache=cache)
     keyframes = list(keyframes)
     pairs = pair_graph(keyframes, overlaps)
-    matches = match_pairs(match_fn, pairs, min_conf=min_conf)
+    matches = match_pairs(match_fn, pairs, min_conf=min_conf,
+                          precomputed=cache)
     Rs, ts = chain_with_scale(matches, keyframes, K, thresh=ransac_thresh,
                               quant=quant)
     kf_index = {f: a for a, f in enumerate(keyframes)}

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from casmtr_tpu.sfm import ba as ba_mod
 from casmtr_tpu.sfm.geometry import (rodrigues, rotation_to_rvec, triangulate)
-from casmtr_tpu.utils.metrics import estimate_pose
 
 
 def chain_poses(pairwise: List[Tuple[np.ndarray, np.ndarray]]):
@@ -37,9 +36,12 @@ def build_problem(Rs, ts, K, tracks: Dict[int, List[Tuple[int, np.ndarray]]],
     """Assemble a BAProblem from camera chain + point tracks.
 
     tracks: point_id -> [(cam_id, uv), ...] (>= 2 views each). Points are
-    initialized by DLT triangulation from their first two views."""
+    initialized by DLT triangulation from their first two views.
+    Observations whose init point lands behind (or implausibly close to)
+    its camera are marked invalid up front — a single wrong-cheirality
+    point otherwise dominates the LM accept/reject with ~1e9 px residuals."""
     pts = []
-    obs_cam, obs_pt, obs_uv = [], [], []
+    obs_cam, obs_pt, obs_uv, obs_ok = [], [], [], []
     for pid, (tid, views) in enumerate(sorted(tracks.items())):
         (c0, uv0), (c1, uv1) = views[0], views[1]
         P0 = K @ np.concatenate([Rs[c0], ts[c0][:, None]], axis=1)
@@ -49,13 +51,19 @@ def build_problem(Rs, ts, K, tracks: Dict[int, List[Tuple[int, np.ndarray]]],
                                    jnp.asarray(uv1[None])))[0]
         pts.append(X)
         for c, uv in views:
+            z = float(Rs[c][2] @ X + ts[c][2])
             obs_cam.append(c)
             obs_pt.append(pid)
             obs_uv.append(uv)
+            obs_ok.append(bool(np.all(np.isfinite(X))) and z > 1e-6)
     n = len(obs_cam)
     cap = max_obs or n
+    if n > cap:
+        raise ValueError(
+            f"{n} observations exceed max_obs={cap}; raise max_obs (the "
+            f"static capacity the BA loop jits against)")
     pad = cap - n
-    valid = np.asarray([True] * n + [False] * pad)
+    valid = np.asarray(obs_ok + [False] * pad)
     obs_cam = np.asarray(obs_cam + [0] * pad, np.int32)
     obs_pt = np.asarray(obs_pt + [0] * pad, np.int32)
     obs_uv = np.asarray(obs_uv + [[0.0, 0.0]] * pad, np.float32)

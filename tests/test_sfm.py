@@ -188,3 +188,59 @@ def test_ba_huber_equals_ls_inside_tube(rng):
     np.testing.assert_allclose(np.asarray(q_hb.cam_tvec),
                                np.asarray(q_ls.cam_tvec), atol=1e-5)
     np.testing.assert_allclose(float(c_hb), float(c_ls), rtol=1e-5)
+
+
+def test_rotation_to_rvec_pi_branch():
+    """theta ~ pi: the skew part vanishes; the diagonal branch must recover
+    the axis (sign ambiguity is inherent — compare the rotations)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from casmtr_tpu.sfm import geometry as G
+
+    for axis in ([1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],
+                 [0.6, 0.8, 0.0], [0.36, 0.48, 0.8]):
+        rv = np.pi * np.asarray(axis)
+        R = np.asarray(G.rodrigues(jnp.asarray(rv)))
+        rv2 = np.asarray(G.rotation_to_rvec(jnp.asarray(R)))
+        R2 = np.asarray(G.rodrigues(jnp.asarray(rv2)))
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+
+def test_triangulate_degenerate_is_finite():
+    """Zero-baseline (pure rotation) pairs must produce FINITE points (the
+    cheirality mask rejects them downstream; NaN would poison the BA cost)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from casmtr_tpu.sfm.geometry import triangulate
+
+    K = np.array([[100.0, 0, 40], [0, 100.0, 30], [0, 0, 1]])
+    P = K @ np.eye(3, 4)
+    uv = np.array([[42.0, 31.0], [10.0, 50.0]])
+    X = np.asarray(triangulate(jnp.asarray(P), jnp.asarray(P),
+                               jnp.asarray(uv), jnp.asarray(uv)))
+    assert np.all(np.isfinite(X))
+
+
+def test_build_problem_capacity_and_cheirality():
+    import numpy as np
+    import pytest
+    from casmtr_tpu.sfm.reconstruct import build_problem
+
+    K = np.array([[100.0, 0, 40], [0, 100.0, 30], [0, 0, 1]])
+    Rs = np.stack([np.eye(3), np.eye(3)])
+    ts = np.stack([np.zeros(3), np.array([-0.5, 0, 0])])
+    # one sane track (in front) and one behind-camera track (uvs crossed so
+    # DLT triangulates to negative depth)
+    front = {0: [(0, np.array([45.0, 30.0])), (1, np.array([40.0, 30.0]))]}
+    X = np.array([0.3, 0.0, 5.0])
+    uv0 = (K @ X)[:2] / X[2]
+    X1 = Rs[1] @ X + ts[1]
+    uv1 = (K @ X1)[:2] / X1[2]
+    behind = [(0, np.asarray(uv1)), (1, np.asarray(uv0))]  # swapped views
+    p = build_problem(Rs, ts, K, {0: front[0], 1: behind})
+    ok = np.asarray(p.obs_valid)
+    assert ok[:2].all()          # the sane track's observations survive
+    assert not ok[2:4].all()     # the crossed track is masked (z <= 0)
+
+    with pytest.raises(ValueError, match="max_obs"):
+        build_problem(Rs, ts, K, front, max_obs=1)

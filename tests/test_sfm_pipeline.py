@@ -52,8 +52,9 @@ def test_pair_graph():
 
 
 def test_select_keyframes_overlap_decay():
-    """Match count decays with frame gap -> keyframes spaced ~ where the
-    count crosses the threshold; first/last always kept."""
+    """Keyframes are promoted at the LAST frame that still matched well, so
+    every consecutive keyframe pair stays >= min_matches (an under-matched
+    chain pair would give RANSAC garbage); first/last always kept."""
     def match_fn(i, j):
         n = max(0, 200 - 60 * (j - i))
         z = np.zeros((n, 2))
@@ -61,8 +62,47 @@ def test_select_keyframes_overlap_decay():
 
     kfs = pl.select_keyframes(10, match_fn, min_matches=100, max_gap=8)
     assert kfs[0] == 0 and kfs[-1] == 9
-    # 200-60*d >= 100 only for d=1, so every 2nd frame promotes
-    assert kfs == [0, 2, 4, 6, 8, 9]
+    # only d=1 clears 100 matches here -> every frame must be a keyframe
+    assert kfs == list(range(10))
+    for a, b in zip(kfs, kfs[1:]):
+        assert len(match_fn(a, b)[0]) >= 100
+
+    # sharp visibility cliff: d<=3 strong, beyond that nothing — the frame
+    # BEFORE the cliff is promoted (the old walk promoted the cliff frame
+    # itself, leaving a 10-match chain pair)
+    def cliff_fn(i, j):
+        n = 200 if j - i <= 3 else 10
+        z = np.zeros((n, 2))
+        return z, z, np.ones(n)
+
+    kfs = pl.select_keyframes(12, cliff_fn, min_matches=100, max_gap=8)
+    assert kfs == [0, 3, 6, 9, 11]
+    for a, b in zip(kfs, kfs[1:]):
+        assert len(cliff_fn(a, b)[0]) >= 100
+
+
+def test_select_keyframes_cache_feeds_match_pairs():
+    """Match results computed during keyframe selection are reused by
+    match_pairs instead of re-running the model forward."""
+    calls = []
+
+    def match_fn(i, j):
+        calls.append((i, j))
+        n = 200 if j - i <= 2 else 10
+        z = np.linspace(0, 1, 2 * n).reshape(n, 2)
+        return z, z + 1, np.ones(n)
+
+    cache = {}
+    kfs = pl.select_keyframes(9, match_fn, min_matches=100, max_gap=8,
+                              cache=cache)
+    assert kfs == [0, 2, 4, 6, 8]
+    n_select_calls = len(calls)
+    pairs = pl.pair_graph(kfs, overlaps=(1,))
+    merged = pl.match_pairs(match_fn, pairs, world=1, rank=0,
+                            gather=lambda x: [x], precomputed=cache)
+    assert set(merged) == set(pairs)
+    # every consecutive-keyframe pair was already matched during selection
+    assert calls[n_select_calls:] == []
 
 
 def test_match_pairs_partitioned_merge(rng):
