@@ -21,8 +21,9 @@ from casmtr_tpu.data.module import MultiSceneDataModule
 from casmtr_tpu.models import build_model
 from casmtr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
 from casmtr_tpu.train.checkpoints import CheckpointManager, load_into_state
-from casmtr_tpu.train.optim import (build_optimizer, new_stage_labels,
-                                    scaled_lr, set_schedule_step)
+from casmtr_tpu.train.optim import (build_lr_schedule, build_optimizer,
+                                    new_stage_labels, scaled_lr,
+                                    scaled_warmup_step, set_schedule_step)
 from casmtr_tpu.train.train_step import TrainState, init_train_state, \
     make_train_step
 from casmtr_tpu.utils import metrics as M
@@ -38,13 +39,10 @@ def device_batch(batch, mesh=None):
     return db
 
 
-def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
-                   tb=None, step: int = 0, plot_every: int = 32):
-    """Validation pass; with ``tb`` also logs match figures every
-    ``plot_every`` pairs (reference lightning_cascade.py:300-343
-    val_match figures + make_matching_figures)."""
-    from casmtr_tpu.cli.evaluate import evaluate_batch_outputs
-
+def make_eval_forward(model):
+    """One jitted eval forward, shared across validation epochs — a fresh
+    closure per call would retrace (a multi-minute remote compile on the
+    relay) every validation."""
     @jax.jit
     def forward(variables, batch):
         out = model.apply(variables, batch, train=False)
@@ -52,11 +50,32 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
         return {"b_ids": fm.b_ids, "mkpts0": fm.mkpts0, "mkpts1": fm.mkpts1,
                 "mconf": fm.mconf, "valid": fm.valid}
 
+    return forward
+
+
+# keys the eval forward actually consumes (depth/pose stay host-side)
+_VAL_KEYS = ("image0", "image1", "mask0", "mask1", "scale0", "scale1")
+
+
+def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
+                   tb=None, step: int = 0, plot_every: int = 32,
+                   forward=None):
+    """Validation pass; with ``tb`` also logs match figures every
+    ``plot_every`` pairs (reference lightning_cascade.py:300-343
+    val_match figures + make_matching_figures). Pass ``forward`` (from
+    make_eval_forward) to reuse one compiled graph across epochs."""
+    from casmtr_tpu.cli.evaluate import evaluate_batch_outputs
+
+    if forward is None:
+        forward = make_eval_forward(model)
+
     metrics = {"identifiers": [], "epi_errs": [], "R_errs": [], "t_errs": [],
                "inliers": []}
     n = 0
     for batch in val_loader:
-        out = forward(variables, device_batch(batch))
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k in _VAL_KEYS and isinstance(v, np.ndarray)}
+        out = forward(variables, dev)
         out_np = {k: np.asarray(v) for k, v in out.items()}
         evaluate_batch_outputs(out_np, batch, cfg, metrics)
         if tb is not None and (n % plot_every) == 0 and metrics["epi_errs"]:
@@ -80,7 +99,7 @@ def run_validation(cfg: Config, model, variables, val_loader, max_pairs=200,
     return M.aggregate_metrics(metrics, epi_err_thr=cfg.trainer.epi_err_thr)
 
 
-def resume_state(cfg: Config, state, tx, restored, base_lr: float,
+def resume_state(cfg: Config, state, restored, base_lr: float,
                  steps_per_epoch: int, reset_lr: bool = False,
                  resume_dir: Optional[str] = None, frozen_label_fn=None,
                  global_bs: Optional[int] = None):
@@ -121,28 +140,34 @@ def resume_state(cfg: Config, state, tx, restored, base_lr: float,
     bstats = load_into_state(restored.get("batch_stats"), state.batch_stats)
     rstep = int(np.asarray(restored.get("step", 0)))
 
-    labels = new_stage_labels(params, restored.get("params"))
-    has_new = any(v == "new" for v in jax.tree_util.tree_leaves(labels))
-    if has_new:
-        tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
-                             new_param_labels=labels, restore_step=rstep,
-                             frozen_label_fn=frozen_label_fn)
-        opt_state = tx.init(params)
-    else:
-        tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
-                             frozen_label_fn=frozen_label_fn)
-        opt_state = tx.init(params)
-        if restored.get("opt_state") is not None:
-            try:
-                from flax import serialization
-                opt_state = serialization.from_state_dict(
-                    opt_state, restored["opt_state"])
-            except Exception:
-                pass  # structure drift: keep the fresh optimizer state
+    # stage>1 resume: every non-backbone/non-8c group re-warms for
+    # warmup_step_stages steps after the restore point (the reference applies
+    # this on EVERY stage>1 (re)start, lightning_cascade.py:117,175-181) —
+    # not only to checkpoint-absent modules
+    labels = (new_stage_labels(params)
+              if cfg.loftr.training_stage > 1 else None)
+    tx = build_optimizer(tcfg, base_lr, steps_per_epoch,
+                         new_param_labels=labels, restore_step=rstep,
+                         frozen_label_fn=frozen_label_fn)
+    opt_state = tx.init(params)
+    if restored.get("opt_state") is not None:
+        try:
+            from flax import serialization
+            opt_state = serialization.from_state_dict(
+                opt_state, restored["opt_state"])
+        except Exception:
+            pass  # structure drift (new stage): keep the fresh state
 
     opt_state = set_schedule_step(opt_state, rstep)
-    ema = params if cfg.trainer.ema else None
-    from casmtr_tpu.train.optim import build_lr_schedule
+    # restore the EMA trail when present (it was previously silently reset
+    # to the raw params on every resume)
+    ema = None
+    if cfg.trainer.ema:
+        # copy: aliasing params would donate the same buffer twice under jit
+        ema = jax.tree_util.tree_map(
+            jnp.array,
+            load_into_state(restored.get("ema_params"), params)
+            if restored.get("ema_params") is not None else params)
     sched = build_lr_schedule(tcfg, base_lr, steps_per_epoch)
     return TrainState(jnp.asarray(rstep, jnp.int32), params, bstats,
                       opt_state, ema), tx, sched
@@ -188,22 +213,31 @@ def main(argv=None):
     if args.overrides_json:
         cfg = override(cfg, json.loads(args.overrides_json))
 
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    global_bs = args.batch_size * n_dev
+    base_lr = scaled_lr(cfg.trainer, global_bs,
+                        cfg.dataset.trainval_data_source)
+    # warmup steps scale inversely with the batch ratio (reference
+    # train.py:104); the dumped config carries the SCALED value, like the
+    # reference's config dump, so resumes reuse it as-is
+    cfg = override(cfg, {"trainer": {"warmup_step": scaled_warmup_step(
+        cfg.trainer, global_bs, cfg.dataset.trainval_data_source)}})
+    print(f"devices={n_dev} global_bs={global_bs} lr={base_lr:.2e} "
+          f"warmup={cfg.trainer.warmup_step}")
+
     os.makedirs(args.run_dir, exist_ok=True)
     dump(cfg, os.path.join(args.run_dir, "config.json"))
     from casmtr_tpu.utils.logging import TensorBoardWriter, get_logger
     tb = TensorBoardWriter(os.path.join(args.run_dir, "tb"))
     log = get_logger()
 
-    n_dev = jax.device_count()
-    mesh = make_mesh() if n_dev > 1 else None
-    global_bs = args.batch_size * n_dev
-    base_lr = scaled_lr(cfg.trainer, global_bs,
-                        cfg.dataset.trainval_data_source)
-    print(f"devices={n_dev} global_bs={global_bs} lr={base_lr:.2e}")
-
     dm = MultiSceneDataModule(cfg, world_size=jax.process_count(),
                               rank=jax.process_index())
-    train_loader = dm.train_loader(global_bs, num_workers=args.num_workers)
+    # each host loads only its local slice of the global batch; shard_batch
+    # assembles the global array from per-process shards
+    local_bs = args.batch_size * jax.local_device_count()
+    train_loader = dm.train_loader(local_bs, num_workers=args.num_workers)
     val_loader = dm.eval_loader(dm.val_dataset(), batch_size=1,
                                 num_workers=args.num_workers)
     steps_per_epoch = max(1, len(train_loader))
@@ -242,13 +276,15 @@ def main(argv=None):
                                                 state.batch_stats))
     ckpt_mgr = CheckpointManager(os.path.join(args.run_dir, "ckpts"),
                                  metric_name="auc@10")
-    from casmtr_tpu.train.optim import build_lr_schedule
+    # the NaN debug dump gets its own manager: stored alongside the real
+    # checkpoints it would be garbage-collected as a low-metric entry
+    nan_mgr = None
     lr_sched = build_lr_schedule(cfg.trainer, base_lr, steps_per_epoch)
     if args.resume:
         restored = CheckpointManager(args.resume).restore()
         if restored is not None:
             state, tx, lr_sched = resume_state(
-                cfg, state, tx, restored, base_lr, steps_per_epoch,
+                cfg, state, restored, base_lr, steps_per_epoch,
                 reset_lr=args.reset_lr, resume_dir=args.resume,
                 frozen_label_fn=frozen_fn, global_bs=global_bs)
             print(f"resumed from {args.resume} at step {int(state.step)}")
@@ -257,13 +293,15 @@ def main(argv=None):
         state = replicate_state(state, mesh)
     step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 
+    val_forward = make_eval_forward(model)  # ONE compile for all val epochs
     if args.sanity_val_steps > 0:
         # catches val-pipeline breakage before paying for a train epoch
         # (reference scripts: --num_sanity_val_steps=2)
         run_validation(cfg, model,
                        {"params": jax.device_get(state.params),
                         "batch_stats": jax.device_get(state.batch_stats)},
-                       val_loader, max_pairs=args.sanity_val_steps)
+                       val_loader, max_pairs=args.sanity_val_steps,
+                       forward=val_forward)
         print(f"sanity validation ok ({args.sanity_val_steps} pairs)")
 
     t0 = time.time()
@@ -281,9 +319,16 @@ def main(argv=None):
                       + " ".join(f"{k}={v:.3f}" for k, v in s.items()
                                  if k != "loss"))
                 if not np.isfinite(s["loss"]):
-                    # NaN dump (reference lightning_cascade.py:259-265)
-                    ckpt_mgr.save(int(state.step), jax.device_get(
-                        {"params": state.params}), {"auc@10": -1.0})
+                    # NaN dump (reference lightning_cascade.py:259-265).
+                    # The train step SKIPS updates on non-finite loss, so the
+                    # dumped params are the last-good (pre-NaN) state.
+                    if nan_mgr is None:
+                        nan_mgr = CheckpointManager(
+                            os.path.join(args.run_dir, "nan_dump"),
+                            max_to_keep=1, keep_last=False)
+                    nan_mgr.save(int(state.step), jax.device_get(
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats}))
                     raise RuntimeError(f"NaN loss at step {int(state.step)}")
         t0 = time.time()
 
@@ -297,17 +342,32 @@ def main(argv=None):
                 print("validation uses EMA params (trainer.test_ema=True)")
             results = run_validation(cfg, model, variables, val_loader,
                                      max_pairs=args.max_val_pairs, tb=tb,
-                                     step=int(jax.device_get(state.step)))
+                                     step=int(jax.device_get(state.step)),
+                                     forward=val_forward)
             tb.scalars({f"val/{k}": float(v) for k, v in results.items()},
                        int(jax.device_get(state.step)))
             tb.flush()
             print(f"epoch {epoch} val: "
                   + json.dumps({k: round(float(v), 4)
                                 for k, v in results.items()}))
-            ckpt_mgr.save(int(jax.device_get(state.step)), jax.device_get({
-                "params": state.params, "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state, "step": state.step,
-            }), {k: float(v) for k, v in results.items()})
+            ckpt_mgr.save(int(jax.device_get(state.step)),
+                          _ckpt_state(state),
+                          {k: float(v) for k, v in results.items()})
+
+    # final save: epochs not divisible by --val-every-epochs would otherwise
+    # discard the last epochs' training entirely
+    final_step = int(jax.device_get(state.step))
+    if ckpt_mgr.latest_step() != final_step:
+        ckpt_mgr.save(final_step, _ckpt_state(state), {"auc@10": -1.0})
+        print(f"final checkpoint saved at step {final_step}")
+
+
+def _ckpt_state(state):
+    d = {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step}
+    if state.ema_params is not None:
+        d["ema_params"] = state.ema_params  # survives resume (test_ema)
+    return jax.device_get(d)
 
 
 if __name__ == "__main__":

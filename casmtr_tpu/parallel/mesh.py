@@ -34,8 +34,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Place every array in the batch with its leading dim sharded."""
+    """Place every array in the batch with its leading dim sharded.
+
+    Multi-host: each process passes only ITS slice of the global batch
+    (local_device_count * per-device batch rows) and the global array is
+    assembled from the per-process shards — no host loads the full global
+    batch."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -13,10 +13,16 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Top-k by metric + always-keep-latest, via orbax."""
+    """Top-k by metric + always-keep-latest, via orbax.
+
+    orbax's best-N retention alone DELETES the newest step whenever its
+    metric is not top-k (verified against the installed policy), so 'last'
+    lives in a sibling ``<directory>_last`` manager (max_to_keep=1) — the PL
+    ``save_top_k + save_last`` semantics (reference train.py:127-129).
+    ``restore()`` picks the newest step across both."""
 
     def __init__(self, directory: str, max_to_keep: int = 3,
-                 metric_name: str = "auc@10"):
+                 metric_name: str = "auc@10", keep_last: bool = True):
         self.metric_name = metric_name
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
@@ -24,25 +30,50 @@ class CheckpointManager:
             best_mode="max",
             create=True,
         )
-        self.mgr = ocp.CheckpointManager(
-            os.path.abspath(directory), options=options)
+        directory = os.path.abspath(directory)
+        self.mgr = ocp.CheckpointManager(directory, options=options)
+        self.last_mgr = None
+        if keep_last:
+            self.last_mgr = ocp.CheckpointManager(
+                directory.rstrip("/") + "_last",
+                options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                     create=True))
 
     def save(self, step: int, state, metrics: Optional[Dict] = None):
         self.mgr.save(step, args=ocp.args.StandardSave(state),
                       metrics=metrics or {})
         self.mgr.wait_until_finished()
+        if self.last_mgr is not None:
+            self.last_mgr.save(step, args=ocp.args.StandardSave(state))
+            self.last_mgr.wait_until_finished()
+
+    def _manager_for(self, step: Optional[int]):
+        """(manager, step): newest across best + last when step is None."""
+        candidates = []
+        for m in (self.mgr, self.last_mgr):
+            if m is None:
+                continue
+            s = (step if step is not None and step in m.all_steps()
+                 else (m.latest_step() if step is None else None))
+            if s is not None:
+                candidates.append((s, 0 if m is self.mgr else 1, m))
+        if not candidates:
+            return None, None
+        s, _, m = max(candidates)
+        return m, s
 
     def restore(self, step: Optional[int] = None, target=None):
-        step = step if step is not None else self.mgr.latest_step()
-        if step is None:
+        mgr, step = self._manager_for(step)
+        if mgr is None:
             return None
         if target is not None:
-            return self.mgr.restore(
-                step, args=ocp.args.StandardRestore(target))
-        return self.mgr.restore(step)
+            return mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return mgr.restore(step)
 
     def latest_step(self):
-        return self.mgr.latest_step()
+        steps = [m.latest_step() for m in (self.mgr, self.last_mgr)
+                 if m is not None and m.latest_step() is not None]
+        return max(steps) if steps else None
 
     def best_step(self):
         return self.mgr.best_step()

@@ -14,14 +14,30 @@ import optax
 from casmtr_tpu.config import TrainerConfig
 
 
-def scaled_lr(tcfg: TrainerConfig, true_batch_size: int,
-              data_source: Optional[str] = None) -> float:
-    """canonical_lr * true_bs / canonical_bs; sqrt scaling for ScanNet
-    (reference train.py:94-104)."""
+def scaling_ratio(tcfg: TrainerConfig, true_batch_size: int,
+                  data_source: Optional[str] = None) -> float:
+    """Batch-size scaling factor (reference train.py:97-100): linear in
+    true_bs/canonical_bs; sqrt for ScanNet."""
     ratio = true_batch_size / tcfg.canonical_bs
     if data_source and data_source.lower() == "scannet":
         ratio = math.sqrt(ratio)
-    return tcfg.canonical_lr * ratio
+    return ratio
+
+
+def scaled_lr(tcfg: TrainerConfig, true_batch_size: int,
+              data_source: Optional[str] = None) -> float:
+    """canonical_lr * scaling (reference train.py:102)."""
+    return tcfg.canonical_lr * scaling_ratio(tcfg, true_batch_size,
+                                             data_source)
+
+
+def scaled_warmup_step(tcfg: TrainerConfig, true_batch_size: int,
+                       data_source: Optional[str] = None) -> int:
+    """floor(warmup_step / scaling) (reference train.py:104): smaller global
+    batches warm up over proportionally MORE steps — the recipes carry the
+    canonical (pre-division) values."""
+    return math.floor(tcfg.warmup_step
+                      / scaling_ratio(tcfg, true_batch_size, data_source))
 
 
 def build_lr_schedule(tcfg: TrainerConfig, base_lr: float,
@@ -62,20 +78,21 @@ def _is_vit_path(path) -> bool:
     return any("vit" in str(getattr(k, "key", k)).lower() for k in path)
 
 
-def new_stage_labels(params, restored_params):
-    """Per-leaf 'new' / 'old' labels: a param is NEW when it has no
-    counterpart in the restored checkpoint tree (a module added by a later
-    training stage).  This is the functional equivalent of the reference's
-    per-layer groups excluding '8c'/'backbone' (lightning_cascade.py:177-181
-    — at a stage-k resume exactly the new-stage modules are absent from the
-    stage-(k-1) checkpoint)."""
-    def walk(tree, res):
-        if isinstance(tree, dict):
-            return {k: walk(v, res.get(k) if isinstance(res, dict) else None)
-                    for k, v in tree.items()}
-        return "old" if res is not None else "new"
+def new_stage_labels(params):
+    """Per-leaf 'new' / 'old' labels for the stage-resume warmup group.
 
-    return walk(params, restored_params if restored_params is not None else {})
+    The reference ramps EVERY param group whose full name lacks '8c' and
+    'backbone' (lightning_cascade.py:177-181) — at a stage-2 resume that is
+    exactly the checkpoint-absent modules, but at a stage-3 resume it also
+    re-warms the restored 4c/fine modules. Name-based labeling reproduces
+    the reference exactly (flax param names mirror the torch names)."""
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + "/" + k) for k, v in tree.items()}
+        low = path.lower()
+        return "old" if ("backbone" in low or "8c" in low) else "new"
+
+    return walk(params, "")
 
 
 def stage_warmup_schedule(schedule, tcfg: TrainerConfig, restore_step: int):

@@ -40,7 +40,10 @@ def init_train_state(model, cfg: Config, batch, rng, steps_per_epoch: int,
     tx = build_optimizer(cfg.trainer, base_lr, steps_per_epoch,
                          frozen_label_fn=frozen_label_fn)
     opt_state = tx.init(params)
-    ema = params if cfg.trainer.ema else None
+    # EMA must be a COPY: aliasing the params buffers breaks donation
+    # (donate_argnums would donate the same buffer twice)
+    ema = (jax.tree_util.tree_map(jnp.array, params) if cfg.trainer.ema
+           else None)
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
                       opt_state, ema), tx
 
@@ -83,14 +86,27 @@ def make_train_step(model, cfg: Config, tx):
                 batch[f"gt_mask_{level}c"] = gt[f"gt_mask_{level}c"]
         (loss, (new_bs, scalars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, gt)
+        # non-finite loss: skip the whole update (params/opt/EMA/BN keep the
+        # last-good state) so the host-side NaN dump captures pre-divergence
+        # params instead of already-poisoned ones (the reference dumps
+        # pre-optimizer-step state, lightning_cascade.py:259-265)
+        gnorm = optax.global_norm(grads)
+        good = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new, old)
+        new_params = keep(new_params, state.params)
+        new_opt = keep(new_opt, state.opt_state)
+        new_bs = keep(new_bs, state.batch_stats)
         new_ema = state.ema_params
         if new_ema is not None:
             beta = ema_beta_at(state.step, cfg.trainer)
-            new_ema = ema_update(new_ema, new_params, beta)
+            new_ema = keep(ema_update(new_ema, new_params, beta), new_ema)
         scalars = dict(scalars)
-        scalars["grad_norm"] = optax.global_norm(grads)
+        scalars["grad_norm"] = gnorm
         return TrainState(state.step + 1, new_params, new_bs, new_opt,
                           new_ema), scalars
 

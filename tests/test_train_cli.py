@@ -123,8 +123,9 @@ def test_stage_warmup_schedule():
 
 
 def test_new_stage_optimizer_groups():
-    """Params absent from the restored checkpoint follow the staged warmup
-    while old params keep the base LR (observed through adam update
+    """Non-backbone/non-8c params follow the staged warmup while 8c params
+    keep the base LR (reference lightning_cascade.py:177 ramps every group
+    whose name lacks '8c'/'backbone'; observed through adam update
     magnitudes on constant gradients with zero weight decay)."""
     import optax
     from casmtr_tpu.train.optim import (build_optimizer, new_stage_labels,
@@ -133,8 +134,7 @@ def test_new_stage_optimizer_groups():
     tcfg = _const_lr_tcfg(warmup_step_stages=10, warmup_ratio_stages=0.1)
     params = {"loftr_coarse_8c": {"w": jnp.zeros(3)},
               "loftr_coarse_4c": {"w": jnp.zeros(3)}}
-    restored = {"loftr_coarse_8c": {"w": np.zeros(3)}}
-    labels = new_stage_labels(params, restored)
+    labels = new_stage_labels(params)
     assert labels == {"loftr_coarse_8c": {"w": "old"},
                       "loftr_coarse_4c": {"w": "new"}}
 
@@ -200,10 +200,10 @@ def test_reset_lr_flag_switches_schedule_config(tmp_path):
         return float(jnp.abs(up["m"]["w"][0]))
 
     s_keep, tx_keep, sched_keep = resume_state(
-        cfg, state, tx, restored, base_lr=8e-3, steps_per_epoch=100,
+        cfg, state, restored, base_lr=8e-3, steps_per_epoch=100,
         reset_lr=False, resume_dir=str(run / "ckpts"))
     s_new, tx_new, sched_new = resume_state(
-        cfg, state, tx, restored, base_lr=8e-3, steps_per_epoch=100,
+        cfg, state, restored, base_lr=8e-3, steps_per_epoch=100,
         reset_lr=True, resume_dir=str(run / "ckpts"))
     assert int(s_keep.step) == 7
     np.testing.assert_array_equal(np.asarray(s_keep.params["m"]["w"]),
@@ -233,7 +233,7 @@ def test_reset_lr_schedule_matches_optimizer(tmp_path):
     state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params))
     restored = {"params": {"m": {"w": np.ones(2, np.float32)}},
                 "step": np.int64(7)}
-    _, _, sched = resume_state(cfg, state, tx, restored, base_lr=8e-3,
+    _, _, sched = resume_state(cfg, state, restored, base_lr=8e-3,
                                steps_per_epoch=100, reset_lr=False,
                                resume_dir=str(run / "ckpts"))
     np.testing.assert_allclose(float(sched(10)), 4e-3, rtol=1e-5)
@@ -260,7 +260,7 @@ def test_refine_resume_keeps_trunk_frozen(tmp_path):
     restored = {"params": {"backbone": {"w": np.full(3, 2.0, np.float32)},
                            "ladder": {"w": np.full(3, 2.0, np.float32)}},
                 "step": np.int64(5)}
-    state2, tx2, _ = resume_state(cfg, state, tx, restored, base_lr=1e-3,
+    state2, tx2, _ = resume_state(cfg, state, restored, base_lr=1e-3,
                                   steps_per_epoch=100, reset_lr=True,
                                   frozen_label_fn=frozen_param_label)
     grads = jax.tree_util.tree_map(jnp.ones_like, state2.params)
@@ -268,3 +268,72 @@ def test_refine_resume_keeps_trunk_frozen(tmp_path):
     assert float(jnp.abs(updates["backbone"]["w"]).sum()) == 0.0
     assert float(jnp.abs(updates["ladder"]["w"]).sum()) > 0.0
     assert float(jnp.abs(updates["cas_loftr_fine"]["w"]).sum()) > 0.0
+
+
+def test_scaled_warmup_step_matches_reference():
+    """warmup_step scales INVERSELY with the batch ratio (reference
+    train.py:104: WARMUP_STEP = floor(WARMUP_STEP / _scaling))."""
+    from casmtr_tpu.train.optim import scaled_warmup_step
+    tcfg = _const_lr_tcfg(warmup_step=1875, canonical_bs=64)
+    assert scaled_warmup_step(tcfg, 8) == 15000
+    assert scaled_warmup_step(tcfg, 64) == 1875
+    # ScanNet: sqrt scaling
+    assert scaled_warmup_step(tcfg, 16, "ScanNet") == int(1875 / 0.5)
+
+
+def test_new_stage_labels_name_semantics():
+    """Reference rule: ramp everything except '8c' and 'backbone' — at a
+    stage-3 resume the restored 4c modules re-warm too."""
+    from casmtr_tpu.train.optim import new_stage_labels
+    params = {"backbone": {"w": jnp.zeros(1)},
+              "loftr_coarse_8c": {"w": jnp.zeros(1)},
+              "coarse_matching_8c": {"w": jnp.zeros(1)},
+              "loftr_coarse_4c": {"w": jnp.zeros(1)},
+              "loftr_fine": {"w": jnp.zeros(1)}}
+    labels = new_stage_labels(params)
+    assert labels["backbone"]["w"] == "old"
+    assert labels["loftr_coarse_8c"]["w"] == "old"
+    assert labels["coarse_matching_8c"]["w"] == "old"
+    assert labels["loftr_coarse_4c"]["w"] == "new"
+    assert labels["loftr_fine"]["w"] == "new"
+
+
+def test_checkpoint_manager_keeps_latest(tmp_path):
+    """A newest checkpoint with a WORSE metric than the top-k must survive
+    (PL save_last semantics); orbax best-N alone would delete it."""
+    from casmtr_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for step, auc in [(10, 0.9), (20, 0.8), (30, 0.1)]:
+        mgr.save(step, {"params": {"w": np.full(2, float(step))}},
+                 {"auc@10": auc})
+    assert mgr.latest_step() == 30
+    r = CheckpointManager(str(tmp_path / "ck")).restore()
+    np.testing.assert_allclose(r["params"]["w"], 30.0)
+    # the best checkpoint is still retrievable by step
+    r10 = CheckpointManager(str(tmp_path / "ck")).restore(step=10)
+    np.testing.assert_allclose(r10["params"]["w"], 10.0)
+
+
+def test_resume_restores_ema(tmp_path):
+    """EMA params in a checkpoint survive the resume instead of being reset
+    to the raw params."""
+    import dataclasses
+    from casmtr_tpu.cli.train import resume_state
+    from casmtr_tpu.config import Config
+    from casmtr_tpu.train.optim import build_optimizer
+    from casmtr_tpu.train.train_step import TrainState
+
+    tcfg = _const_lr_tcfg(ema=True)
+    cfg = dataclasses.replace(Config(), trainer=tcfg)
+    params = {"m": {"w": jnp.zeros(2)}}
+    tx = build_optimizer(tcfg, 1e-3, 100)
+    state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params),
+                       ema_params=params)
+    restored = {"params": {"m": {"w": np.ones(2, np.float32)}},
+                "ema_params": {"m": {"w": np.full(2, 0.5, np.float32)}},
+                "step": np.int64(3)}
+    s2, _, _ = resume_state(cfg, state, restored, base_lr=1e-3,
+                            steps_per_epoch=100, reset_lr=True)
+    np.testing.assert_allclose(np.asarray(s2.ema_params["m"]["w"]), 0.5)
+    np.testing.assert_allclose(np.asarray(s2.params["m"]["w"]), 1.0)
