@@ -122,7 +122,8 @@ class DataLoader:
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        # prefetch < 1 would never prime the future queue -> zero batches
+        self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
 
     def __len__(self):

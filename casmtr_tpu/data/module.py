@@ -27,7 +27,6 @@ class MultiSceneDataModule:
         self.config = config
         self.world_size = world_size
         self.rank = rank
-        d = config.dataset
         self.seed = config.trainer.seed
 
     def _build_split(self, data_source, root, npz_root, list_path,
@@ -39,11 +38,13 @@ class MultiSceneDataModule:
             names = get_local_split(names, self.world_size, self.rank,
                                     self.seed)
         datasets = []
+        missing = []
         for name in names:
             npz_path = osp.join(npz_root, name)
             if not npz_path.endswith(".npz"):
                 npz_path += ".npz"
             if not osp.exists(npz_path):
+                missing.append(npz_path)
                 continue
             if data_source == "MegaDepth":
                 datasets.append(MegaDepthDataset(
@@ -60,7 +61,25 @@ class MultiSceneDataModule:
                     is_rgb=self.config.loftr.is_rgb))
             else:
                 raise ValueError(data_source)
-        return ConcatDataset(datasets)
+        if missing:
+            import warnings
+            warnings.warn(
+                f"{mode}: {len(missing)} of {len(names)} scene npz files "
+                f"missing under {npz_root} (first: {missing[0]})",
+                RuntimeWarning)
+        if not datasets:
+            raise FileNotFoundError(
+                f"no scene npz files found for {mode}: checked {len(names)} "
+                f"names from {list_path} under {npz_root}")
+        # drop empty scenes (e.g. every pair below the overlap threshold):
+        # the scene-balanced sampler cannot draw from a zero-length subset
+        nonempty = [ds for ds in datasets if len(ds) > 0]
+        if len(nonempty) < len(datasets):
+            import warnings
+            warnings.warn(
+                f"{mode}: dropped {len(datasets) - len(nonempty)} scenes "
+                f"with zero usable pairs", RuntimeWarning)
+        return ConcatDataset(nonempty)
 
     def train_dataset(self):
         d = self.config.dataset

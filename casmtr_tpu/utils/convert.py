@@ -74,14 +74,6 @@ def _transform(value: np.ndarray, flax_shape: Tuple[int, ...],
     return v
 
 
-def _walk(tree, path=()):
-    if isinstance(tree, dict) and not hasattr(tree, "shape"):
-        for k, v in tree.items():
-            yield from _walk(v, path + (k,))
-    else:
-        yield path, tree
-
-
 def convert_state_dict(torch_sd: Dict[str, Any], flax_variables: Dict,
                        strict: bool = True):
     """Fill a flax variables dict ({'params': ..., 'batch_stats': ...}) from a

@@ -11,21 +11,22 @@ from typing import Dict, Optional
 
 from casmtr_tpu.parallel.comm import is_main_process
 
-_logger = None
+_configured = set()
 
 
 def get_logger(name: str = "casmtr_tpu") -> logging.Logger:
-    """Rank-zero-only logger (non-main processes log at ERROR only)."""
-    global _logger
-    if _logger is None:
-        lg = logging.getLogger(name)
+    """Rank-zero-only logger (non-main processes log at ERROR only).
+    Configured once PER NAME (a single cached instance would hand every
+    caller the first name ever requested)."""
+    lg = logging.getLogger(name)
+    if name not in _configured:
         handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(
             "%(asctime)s %(levelname)s %(name)s: %(message)s"))
         lg.addHandler(handler)
         lg.setLevel(logging.INFO if is_main_process() else logging.ERROR)
-        _logger = lg
-    return _logger
+        _configured.add(name)
+    return lg
 
 
 class TensorBoardWriter:

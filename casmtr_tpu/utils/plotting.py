@@ -64,8 +64,11 @@ def make_matching_figure(img0: np.ndarray, img1: np.ndarray,
         axes[0].scatter(mkpts0[:, 0], mkpts0[:, 1], c=color, s=4)
         axes[1].scatter(mkpts1[:, 0], mkpts1[:, 1], c=color, s=4)
 
+    # white text on dark images (reference plotting.py:57; its 0-255
+    # threshold of 200 is 200/255 on our [0, 1] images)
+    txt_color = "k" if np.asarray(img0)[:100, :200].mean() > 200 / 255 else "w"
     fig.text(0.01, 0.99, "\n".join(text), transform=fig.axes[0].transAxes,
-             fontsize=15, va="top", ha="left", color="k")
+             fontsize=15, va="top", ha="left", color=txt_color)
     if path:
         plt.savefig(path, bbox_inches="tight", pad_inches=0)
         plt.close(fig)

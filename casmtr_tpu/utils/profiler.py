@@ -14,6 +14,7 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 class PassThroughProfiler:
@@ -31,7 +32,14 @@ class PassThroughProfiler:
 class InferenceProfiler(PassThroughProfiler):
     """Wall-clock region profiler with device fencing
     (reference profiler.py:8-28 InferenceProfiler semantics). Regions are also
-    emitted as jax.profiler trace annotations."""
+    emitted as jax.profiler trace annotations.
+
+    The fence: a trailing scalar fetch. Device streams execute in order, so
+    completing a trivial computation enqueued AFTER the region implies the
+    region's device work finished — `jax.block_until_ready` alone is not
+    reliable through the axon relay (CLAUDE.md), and without any fence async
+    dispatch makes every region look like ~0 ms. Regions that already fetch
+    their outputs pay only a negligible extra scalar."""
 
     def __init__(self):
         self.times = defaultdict(list)
@@ -41,6 +49,7 @@ class InferenceProfiler(PassThroughProfiler):
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation(name):
             yield
+            float(jnp.zeros(()))  # in-order fence (see class docstring)
         self.times[name].append(time.perf_counter() - t0)
 
     def summary(self) -> str:
