@@ -82,7 +82,7 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
         # checkpoint: the gathered [B, L0, Kw, C] tensor inside window_score
         # is a 1.5 GB autodiff residual at 704^2 (recompute it in backward)
         sim01 = jax.checkpoint(window_score)(f0, f1, idx_c01) / temperature
-    if mask0 is not None:
+    if mask0 is not None and mask1 is not None:
         wmask0 = jnp.take_along_axis(
             jnp.broadcast_to(mask1[:, None], (mask1.shape[0],
                                               idx_c01.shape[1],
@@ -98,7 +98,7 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
     else:
         sim10 = jax.lax.stop_gradient(
             window_score(f1, f0, idx_c10)) / temperature
-    if mask0 is not None:
+    if mask0 is not None and mask1 is not None:
         wmask1 = jnp.take_along_axis(
             jnp.broadcast_to(mask0[:, None], (mask0.shape[0],
                                               idx_c10.shape[1],

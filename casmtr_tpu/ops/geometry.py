@@ -44,6 +44,11 @@ def warp_kpts(kpts0: jnp.ndarray, depth0: jnp.ndarray, depth1: jnp.ndarray,
              & (w_kpts0[..., 1] > 0) & (w_kpts0[..., 1] < h - 1))
     w_long = jnp.where(covis[..., None], w_kpts0.astype(jnp.int32), 0)
     w_depth = _sample_depth(depth1, w_long)
-    consistent = jnp.abs((w_depth - w_depth_computed)
-                         / jnp.where(w_depth == 0, 1e9, w_depth)) < 0.2
+    # zero target depth (depth hole) must be INVALID: the reference divides
+    # by the raw depth so 0 -> inf/nan -> fails the <0.2 check
+    # (reference geometry.py:53); substituting a huge denominator would flip
+    # it to valid (ratio ~ 0)
+    consistent = (w_depth != 0) & (
+        jnp.abs((w_depth - w_depth_computed)
+                / jnp.where(w_depth == 0, 1.0, w_depth)) < 0.2)
     return nonzero & covis & consistent, w_kpts0

@@ -85,7 +85,11 @@ def select_topm(mask_flat: jnp.ndarray, conf_flat: jnp.ndarray, m_cap: int):
     n = mask_flat.shape[0]
     k = min(m_cap, n)
     score = jnp.where(mask_flat, conf_flat, -jnp.inf)
-    vals, idx = jax.lax.top_k(score, k)
+    # exact_topk: avoids lax.top_k's full-sort lowering on TPU (values
+    # exact; tie order is the pinned device semantics, see quadtree.py)
+    from casmtr_tpu.ops.quadtree import exact_topk
+    vals, idx = exact_topk(score[None], k)
+    vals, idx = vals[0], idx[0]
     valid = jnp.isfinite(vals)
     if k < m_cap:
         idx = jnp.pad(idx, (0, m_cap - k))

@@ -49,7 +49,11 @@ def local_window_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
     h, w = hw
     c = conf.reshape(B, h // window, window, w // window, window)
     c = jnp.moveaxis(c, 2, 3).reshape(B, -1, window * window)
-    _, top_i = jax.lax.top_k(c, topk)                # [B, nW, k] local idx
+    nw = c.shape[1]
+    # 2-D operand: >2-D top_k hits the TPU layout pathology (see exact_topk)
+    from casmtr_tpu.ops.quadtree import exact_topk
+    _, top_i = exact_topk(c.reshape(B * nw, window * window), topk)
+    top_i = top_i.reshape(B, nw, topk)               # [B, nW, k] local idx
     oneh = jax.nn.one_hot(top_i, window * window, dtype=jnp.bool_).any(axis=2)
     oneh = oneh.reshape(B, h // window, w // window, window, window)
     oneh = jnp.moveaxis(oneh, 3, 2).reshape(B, h * w)

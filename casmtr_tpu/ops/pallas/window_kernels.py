@@ -388,6 +388,15 @@ def _wca_prepare(q, k, v, corners, hw_q, hw_k):
     from casmtr_tpu.ops.quadtree import block_children
     h0, w0 = hw_q
     B, Lq, H, D = q.shape
+    # the kernel's matmul grouping covers G*( _WTP // G ) parents per tile;
+    # a head count whose R=4H doesn't divide into _WTP would silently leave
+    # the tail parents uninitialized
+    G = max(1, 128 // (4 * H))
+    if _WTP % G != 0:
+        raise ValueError(
+            f"window_cross_attention: {H} heads give matmul group {G}, "
+            f"which must divide the {_WTP}-parent tile (use a power-of-two "
+            f"head count or the gather path)")
     P = Lq // 4
     P_pad = -(-P // _WTP) * _WTP
     q_blk = block_children(q, h0, w0)                 # [B, P, 4, H, D]

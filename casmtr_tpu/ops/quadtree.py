@@ -284,7 +284,11 @@ def _merge_messages(messages: List[jnp.ndarray], parent_hw: List[Tuple[int, int]
     for i in range(1, len(messages)):
         m = messages[i]
         if lepe is not None:
-            m = m + lepe[i]
+            # lepe[i] is the unblocked [B, L_i, H, D] grid; the message is
+            # 2x2-blocked — block it the same way (reference
+            # quadtree_attention.py:280 rearrange to 'b (H W) (t1 t2) hd d')
+            hp, wp = parent_hw[i]
+            m = m + block_children(lepe[i], 2 * hp, 2 * wp)
         final = final[:, :, None] + m * w[i]
         hp, wp = parent_hw[i]
         final = unblock_children(final, hp, wp)
@@ -327,7 +331,6 @@ def qtatt_b(queries: Sequence[jnp.ndarray], keys: Sequence[jnp.ndarray],
             parent_hw.append((h, w))
         else:
             w_prev = sizes[li + 1][1]
-            topk_prev = topk
             topk = topks[i]
             _, msg, _, topk_idx = _fine_level_b(
                 q, k, v, topk_idx, topk, (h, w), (h, w), w_prev, rel_pos=rp,

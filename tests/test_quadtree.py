@@ -154,3 +154,41 @@ def test_cascade_qtatt_b(rng):
     # message rows must be convex combinations -> bounded by value range
     vmax = np.abs(np.asarray(v)).max() * 1.001
     assert np.abs(np.asarray(msg)).max() <= vmax
+
+
+def test_qtatt_b_lepe_merge(rng):
+    """lepe is added to each level's message BEFORE weighting; fine-level
+    messages are 2x2-blocked so the lepe grid must be blocked the same way
+    (reference quadtree_attention.py:280). Zero lepe == no lepe; nonzero
+    lepe shifts the output by exactly sum_i w_i * lepe_i at the right
+    positions (lepe enters linearly after the softmax weights)."""
+    B, H, D = 1, 2, 4
+    sizes = [(8, 8), (4, 4), (2, 2)]
+    mk = lambda h, w: jnp.asarray(
+        rng.standard_normal((B, h * w, H, D)).astype(np.float32))
+    qs = [mk(*s) for s in sizes]
+    ks = [mk(*s) for s in sizes]
+    vs = [mk(*s) for s in sizes]
+    weight = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+    zero_lepe = [jnp.zeros_like(q) for q in qs]
+    base = qt.qtatt_b(qs, ks, vs, sizes, topks=[2, 2, 2],
+                      merge_weight=weight)
+    with_zero = qt.qtatt_b(qs, ks, vs, sizes, topks=[2, 2, 2],
+                           merge_weight=weight, lepe=zero_lepe)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_zero),
+                               rtol=1e-5, atol=1e-6)
+
+    lepe = [mk(*s) for s in sizes]
+    out = qt.qtatt_b(qs, ks, vs, sizes, topks=[2, 2, 2],
+                     merge_weight=weight, lepe=lepe)
+    # linearity: out - base == sum_i softmax(w)_i * upsampled(lepe_i)
+    w = np.asarray(jax.nn.softmax(weight))
+    expect = np.zeros_like(np.asarray(base))
+    for i, (h, wd) in enumerate(sizes):
+        le = np.asarray(lepe[i]).reshape(B, h, wd, H, D)
+        rep = 8 // h
+        le_up = le.repeat(rep, axis=1).repeat(rep, axis=2)
+        # level i (finest-first) has weight index (n_levels-1-i)
+        expect += w[2 - i] * le_up.reshape(B, 64, H, D)
+    np.testing.assert_allclose(np.asarray(out) - np.asarray(base), expect,
+                               rtol=1e-4, atol=1e-4)

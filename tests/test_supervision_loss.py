@@ -159,3 +159,30 @@ def test_detector_branch_training(rng):
     loss, scalars = casmtr_loss(out, gt, None, lcfg)
     assert "loss_4c_det" in scalars
     assert np.isfinite(float(loss))
+
+
+def test_warp_kpts_zero_target_depth_is_invalid():
+    """A keypoint landing in a depth HOLE of image1 (w_depth == 0) must be
+    invalid: the reference's division by the raw depth gives inf -> fails
+    the <0.2 consistency check (reference geometry.py:53). Substituting a
+    large denominator would flip it to valid."""
+    import jax.numpy as jnp
+    import numpy as np
+    from casmtr_tpu.ops.geometry import warp_kpts
+
+    H = W = 16
+    depth0 = np.full((1, H, W), 2.0, np.float32)
+    depth1_ok = np.full((1, H, W), 2.0, np.float32)
+    depth1_hole = np.zeros((1, H, W), np.float32)  # all holes
+    K = np.asarray([[[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]]], np.float32)
+    T = np.eye(4, dtype=np.float32)[None]
+    pts = np.asarray([[[8.0, 8.0], [4.0, 4.0]]], np.float32)
+
+    ok, _ = warp_kpts(jnp.asarray(pts), jnp.asarray(depth0),
+                      jnp.asarray(depth1_ok), jnp.asarray(T),
+                      jnp.asarray(K), jnp.asarray(K))
+    hole, _ = warp_kpts(jnp.asarray(pts), jnp.asarray(depth0),
+                        jnp.asarray(depth1_hole), jnp.asarray(T),
+                        jnp.asarray(K), jnp.asarray(K))
+    assert np.asarray(ok).all()
+    assert not np.asarray(hole).any()
