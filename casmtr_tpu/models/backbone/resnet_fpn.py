@@ -149,6 +149,11 @@ class Ladder_4_2(nn.Module):
     @nn.compact
     def __call__(self, x, add_feats, train: bool = False):
         rd, bd = self.refine_dims, self.block_dims
+        # the reference ladder's conv1 is 1-channel unless is_rgb
+        # (resnet_fpn.py:223-226); lazily inferring 3 channels here would
+        # produce a kernel shape no converted checkpoint can fill
+        if not self.is_rgb and x.shape[-1] == 3:
+            x = _to_gray(x)
         x0 = nn.relu(batch_norm(train, "bn1")(nn.Conv(
             rd[0], (7, 7), strides=(2, 2), padding=3, use_bias=False,
             kernel_init=_KAIMING, name="conv1")(x)))

@@ -71,9 +71,15 @@ class GroupAttention(nn.Module):
         k = k.reshape(BW, WW, self.num_heads, hd)
         v = v.reshape(BW, WW, self.num_heads, hd)
 
-        attn = jnp.einsum("wlhd,wshd->wlsh", q, k,
+        # head-first layout: the softmax axis stays LAST (lane dim) — the
+        # repo's measured TPU layout rule (CLAUDE.md)
+        attn = jnp.einsum("wlhd,wshd->whls", q, k,
                           preferred_element_type=jnp.float32) * (hd ** -0.5)
         if pad_b or pad_r:
+            # per-dimension pad masking. NOTE deviation: the reference's
+            # forward_mask executes mask[:, -pad_b:].fill_(1) UNCONDITIONALLY
+            # (cascade_attention.py), so pad_b==0 marks the whole mask and
+            # degenerates; we mask each dimension only when it is padded.
             is_pad = jnp.zeros((1, Hp, Wp, 1), jnp.float32)
             if pad_b:
                 is_pad = is_pad.at[:, Hp - pad_b:].set(1.0)
@@ -83,11 +89,11 @@ class GroupAttention(nn.Module):
             diff = pm[:, :, None] - pm[:, None, :]          # [nW, WW, WW]
             bias = jnp.where(diff != 0, -1000.0, 0.0)
             nW = pm.shape[0]
-            attn = attn.reshape(B, nW, WW, WW, self.num_heads)
-            attn = attn + bias[None, :, :, :, None]
-            attn = attn.reshape(BW, WW, WW, self.num_heads)
-        attn = jax.nn.softmax(attn, axis=2)
-        out = jnp.einsum("wlsh,wshd->wlhd", attn.astype(v.dtype), v)
+            attn = attn.reshape(B, nW, self.num_heads, WW, WW)
+            attn = attn + bias[:, None]
+            attn = attn.reshape(BW, self.num_heads, WW, WW)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("whls,wshd->wlhd", attn.astype(v.dtype), v)
         out = out.reshape(BW, WW, C)
         out = window_reverse(out, self.ws, Hp, Wp)
         out = out[:, :h, :w].reshape(B, N, C)
@@ -125,10 +131,11 @@ class Attention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
         k = k.reshape(B, -1, self.num_heads, hd)
         v = v.reshape(B, -1, self.num_heads, hd)
-        attn = jnp.einsum("blhd,bshd->blsh", q, k,
+        # head-first: softmax on the LAST (lane) axis (CLAUDE.md layout rule)
+        attn = jnp.einsum("blhd,bshd->bhls", q, k,
                           preferred_element_type=jnp.float32) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=2)
-        out = jnp.einsum("blsh,bshd->blhd", attn.astype(v.dtype), v)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhls,bshd->blhd", attn.astype(v.dtype), v)
         out = out.reshape(B, N, C)
         return nn.Dense(C, kernel_init=_TRUNC, name="proj")(out)
 

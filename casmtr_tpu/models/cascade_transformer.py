@@ -270,10 +270,14 @@ class CascadeFeatureTransformer(nn.Module):
         H1, W1 = hw1
         B = feat0.shape[0]
 
+        # idx_c01 holds matches of image0 cells ON IMAGE1's half grid (and
+        # vice versa) — decode/clamp with the TARGET image's dims (the
+        # upsample_idx calls below already do; decoding with the source dims
+        # silently corrupts windows whenever the two images differ in shape)
         idx_c01_w, idx_c01_full = window_warp_idx(
-            idx_c01, self.window, H0 // 2, W0 // 2, self.full_window)
+            idx_c01, self.window, H1 // 2, W1 // 2, self.full_window)
         idx_c10_w, idx_c10_full = window_warp_idx(
-            idx_c10, self.window, H1 // 2, W1 // 2, self.full_window)
+            idx_c10, self.window, H0 // 2, W0 // 2, self.full_window)
         # structured candidate corners (top-left of the shifted window on the
         # half grid) for the Pallas patch kernels; only the plain window
         # propagation is patch-contiguous
@@ -292,10 +296,14 @@ class CascadeFeatureTransformer(nn.Module):
             rel_pe_c01 = rel_pe_c10 = None
 
         idx_c01_x2 = idx_c10_x2 = None
+        cycle = None  # loop-invariant: compute once for all 'self' layers
         for layer, name in zip(self.layers, cfg.layer_names):
             if name == "self":
                 if cfg.self_attn_type == "topk":
-                    c0, c1 = self._cycle_topk(conf_matrix_8c, hw0_8c, hw1_8c)
+                    if cycle is None:
+                        cycle = self._cycle_topk(conf_matrix_8c, hw0_8c,
+                                                 hw1_8c)
+                    c0, c1 = cycle
                     feat0 = layer(feat0, feat0, (H0, W0), (H0, W0), topk_pos=c0)
                     feat1 = layer(feat1, feat1, (H1, W1), (H1, W1), topk_pos=c1)
                 elif cfg.self_attn_type == "linear":
@@ -339,9 +347,14 @@ class CascadeFeatureTransformer(nn.Module):
         [B, L, k, nhead] for QTAttGuided."""
         cfg = self.config
         k = cfg.topks[0]
-        topk_idx_c01 = jax.lax.top_k(conf_matrix, k)[1]          # [B, L0, k]
-        topk_idx_c10 = jax.lax.top_k(
-            jnp.swapaxes(conf_matrix, 1, 2), k)[1]               # [B, L1, k]
+        from casmtr_tpu.ops.quadtree import exact_topk
+        B, L0, L1 = conf_matrix.shape
+        # 2-D operands: >2-D top_k hits the TPU layout pathology (CLAUDE.md)
+        topk_idx_c01 = exact_topk(
+            conf_matrix.reshape(B * L0, L1), k)[1].reshape(B, L0, k)
+        topk_idx_c10 = exact_topk(
+            jnp.swapaxes(conf_matrix, 1, 2).reshape(B * L1, L0),
+            k)[1].reshape(B, L1, k)
         best01 = topk_idx_c01[:, :, 0]                            # [B, L0]
         best10 = topk_idx_c10[:, :, 0]                            # [B, L1]
         # rows of the reverse top-k table at each position's best match

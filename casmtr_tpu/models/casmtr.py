@@ -54,6 +54,35 @@ class UpBlock(nn.Module):
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
+def _stage_d2d(stage_cfg, feat_tokens, hw):
+    """d2d saliency inputs for a cascade level's test-time post-processing
+    (None unless post_config.method == 'd2d'; reference computes S_d2d
+    inside CascadeMatching for every level)."""
+    if stage_cfg.post_config.method != "d2d":
+        return None, None
+    c_ = feat_tokens.shape[-1]
+    return (d2d_saliency(feat_tokens.astype(jnp.float32) / (c_ ** 0.5), hw),
+            hw[1] // 4)
+
+
+def _detector_labels(stage_cfg, heat, ws, mask, idx_c01, gt_idx, gt_mask,
+                     m_cap, hw0, batch, train):
+    """Per-level detector branch (reference cascade_matching.py:132-138):
+    heatmap from the learnable head, else the max PRE-softmax sim logits
+    (NOT the softmax confidence — a (0,1) heatmap makes the detector's own
+    softmax near-uniform and gumbel noise swamps it)."""
+    if not (train and stage_cfg.detector_mode is not None
+            and gt_idx is not None):
+        return None, None, None
+    if heat is None:
+        heat = ws.max_sim_c01.reshape(ws.max_sim_c01.shape[0], *hw0)
+    det_matrix = cm.detect_keypoints(
+        heat, ws.conf01, stage_cfg.detector_mode, stage_cfg.grid_size or 4,
+        rng_key=batch.get("sample_key"))
+    return cm.select_detector_labels(det_matrix, mask, idx_c01, gt_idx,
+                                     gt_mask, m_cap)
+
+
 def _cas_cfg(match_cascade, idx: int) -> dict:
     """Per-level view of the list-valued cascade match config
     (reference cascade_model_stage3.py:50-57)."""
@@ -171,12 +200,7 @@ class CasMTR(nn.Module):
                 corners1=corners_4c10, hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
                 prop_window=(cfg.coarse2.window_size
                              if corners_4c01 is not None else 0))
-            s_d2d = d2d_w = None
-            if cfg.coarse2.post_config.method == "d2d":
-                c_ = t4_0.shape[-1]
-                s_d2d = d2d_saliency(
-                    t4_0.astype(jnp.float32) / (c_ ** 0.5), hw0_4c)
-                d2d_w = hw0_4c[1] // 4
+            s_d2d, d2d_w = _stage_d2d(cfg.coarse2, t4_0, hw0_4c)
             if train:
                 mask4 = cm.cascade_match_mask_train(
                     ws4, c4["thr"], idx_4c01.shape[-1], hw0_4c, hw1_4c,
@@ -199,22 +223,10 @@ class CasMTR(nn.Module):
                 idx_c01=idx_4c01 if train else None,
                 gt_idx_c01=batch.get("gt_idx_4c") if train else None,
                 gt_mask_c01=batch.get("gt_mask_4c") if train else None)
-            det_gt = det_conf_sel = det_valid = None
-            if train and cfg.coarse2.detector_mode is not None and \
-                    "gt_idx_4c" in batch:
-                # detector branch (reference cascade_matching.py:132-138):
-                # heatmap from the learnable head or the max conf logits
-                if heat4 is None:
-                    heat = ws4.next_conf_c01.reshape(B, *hw0_4c)
-                else:
-                    heat = heat4
-                det_key = batch.get("sample_key")
-                det_matrix = cm.detect_keypoints(
-                    heat, ws4.conf01, cfg.coarse2.detector_mode,
-                    cfg.coarse2.grid_size or 4, rng_key=det_key)
-                det_gt, det_conf_sel, det_valid = cm.select_detector_labels(
-                    det_matrix, mask4, idx_4c01, batch["gt_idx_4c"],
-                    batch["gt_mask_4c"], m_cap4)
+            det_gt, det_conf_sel, det_valid = _detector_labels(
+                cfg.coarse2, heat4, ws4, mask4, idx_4c01,
+                batch.get("gt_idx_4c"), batch.get("gt_mask_4c"), m_cap4,
+                hw0_4c, batch, train)
             cascades["4c"] = CascadeStage(
                 conf_matrix=ws4.conf01, idx_c01=idx_4c01, idx_c10=idx_4c10,
                 next_idx_c01=ws4.next_idx_c01, next_idx_c10=ws4.next_idx_c10,
@@ -267,6 +279,7 @@ class CasMTR(nn.Module):
                 corners1=corners_2c10, hw0=tuple(hw0_f), hw1=tuple(hw1_f),
                 prop_window=(cfg.coarse3.window_size
                              if corners_2c01 is not None else 0))
+            s_d2d2, d2d_w2 = _stage_d2d(cfg.coarse3, t2_0, tuple(hw0_f))
             if train:
                 mask2 = cm.cascade_match_mask_train(
                     ws2, c2["thr"], idx_2c01.shape[-1], hw0_f, hw1_f,
@@ -280,7 +293,7 @@ class CasMTR(nn.Module):
                     pre_thrs=list(c2["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
                     double_check=c2["double_check"], mask0_2d=m2_0,
-                    mask1_2d=m2_1)
+                    mask1_2d=m2_1, s_d2d=s_d2d2, d2d_w=d2d_w2)
             m_cap2 = (min(c2["train_pad_num_gt_min"], c2["max_matches"])
                       if train else c2["max_matches"])
             matches_2c, extras2 = cm.extract_cascade_matches(
@@ -290,6 +303,10 @@ class CasMTR(nn.Module):
                 idx_c01=idx_2c01 if train else None,
                 gt_idx_c01=batch.get("gt_idx_2c") if train else None,
                 gt_mask_c01=batch.get("gt_mask_2c") if train else None)
+            det_gt2, det_conf2, det_valid2 = _detector_labels(
+                cfg.coarse3, heat2, ws2, mask2, idx_2c01,
+                batch.get("gt_idx_2c"), batch.get("gt_mask_2c"), m_cap2,
+                tuple(hw0_f), batch, train)
             cascades["2c"] = CascadeStage(
                 conf_matrix=ws2.conf01, idx_c01=idx_2c01, idx_c10=idx_2c10,
                 next_idx_c01=ws2.next_idx_c01, next_idx_c10=ws2.next_idx_c10,
@@ -297,7 +314,9 @@ class CasMTR(nn.Module):
                 next_conf_c10=ws2.next_conf_c10, matches=matches_2c,
                 hw0=tuple(hw0_f), hw1=tuple(hw1_f),
                 window_gt_label=extras2.get("window_gt_label"),
-                window_conf=extras2.get("window_conf"))
+                window_conf=extras2.get("window_conf"),
+                detector_gt_label=det_gt2, detector_conf=det_conf2,
+                detector_valid=det_valid2)
             final_matches = matches_2c
             fine_feat0 = t2_0.reshape(B, hw0_f[0], hw0_f[1], -1)
             fine_feat1 = t2_1.reshape(B, hw1_f[0], hw1_f[1], -1)

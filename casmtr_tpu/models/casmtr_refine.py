@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from casmtr_tpu.config import LoftrConfig
 from casmtr_tpu.models.backbone.resnet_fpn import Ladder_4_2, ResNetFPN_8_4_2
-from casmtr_tpu.models.casmtr import UpBlock, _cas_cfg
+from casmtr_tpu.models.casmtr import (UpBlock, _cas_cfg, _detector_labels,
+                                      _stage_d2d)
 from casmtr_tpu.models.cascade_transformer import CascadeFeatureTransformer
 from casmtr_tpu.models.fine_preprocess import FinePreprocess
 from casmtr_tpu.models.loftr import level_mask
@@ -149,6 +150,7 @@ class CasMTRRefine(nn.Module):
                 corners1=corners_4c10, hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
                 prop_window=(cfg.coarse2.window_size
                              if corners_4c01 is not None else 0))
+            s_d2d, d2d_w = _stage_d2d(cfg.coarse2, t4_0, tuple(hw0_4c))
             if train:
                 mask4 = cm.cascade_match_mask_train(
                     ws4, c4["thr"], idx_4c01.shape[-1], hw0_4c, hw1_4c,
@@ -161,15 +163,20 @@ class CasMTRRefine(nn.Module):
                     pre_thrs=list(c4["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
                     double_check=c4["double_check"], mask0_2d=m4_0,
-                    mask1_2d=m4_1)
+                    mask1_2d=m4_1, s_d2d=s_d2d, d2d_w=d2d_w)
             m_cap4 = (min(c4["train_pad_num_gt_min"], c4["max_matches"])
                       if train else c4["max_matches"])
             matches_4c, extras4 = cm.extract_cascade_matches(
                 ws4, mask4, hw0_4c, hw1_4c, m_cap4, scale=H0 / hw0_4c[0],
                 scale0=scale0, scale1=scale1,
+                priority=batch.get("priority_4c"),
                 idx_c01=idx_4c01 if train else None,
                 gt_idx_c01=batch.get("gt_idx_4c") if train else None,
                 gt_mask_c01=batch.get("gt_mask_4c") if train else None)
+            det_gt, det_conf_sel, det_valid = _detector_labels(
+                cfg.coarse2, heat4, ws4, mask4, idx_4c01,
+                batch.get("gt_idx_4c"), batch.get("gt_mask_4c"), m_cap4,
+                tuple(hw0_4c), batch, train)
             cascades["4c"] = CascadeStage(
                 conf_matrix=ws4.conf01, idx_c01=idx_4c01, idx_c10=idx_4c10,
                 next_idx_c01=ws4.next_idx_c01, next_idx_c10=ws4.next_idx_c10,
@@ -177,7 +184,9 @@ class CasMTRRefine(nn.Module):
                 next_conf_c10=ws4.next_conf_c10, matches=matches_4c,
                 hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
                 window_gt_label=extras4.get("window_gt_label"),
-                window_conf=extras4.get("window_conf"))
+                window_conf=extras4.get("window_conf"),
+                detector_gt_label=det_gt, detector_conf=det_conf_sel,
+                detector_valid=det_valid)
             final_matches = matches_4c
 
             Wf = cfg.fine_window_size

@@ -87,13 +87,14 @@ class NeighborWindowAttention(nn.Module):
         qh = qh.reshape(Bq, Nq, self.num_heads, hd) * (hd ** -0.5)
         kh = kh.reshape(Bq, Nk, self.num_heads, hd)
         vh = vh.reshape(Bq, Nk, self.num_heads, hd)
-        attn = jnp.einsum("blhd,bshd->blsh", qh, kh,
+        # head-first: softmax on the LAST (lane) axis (CLAUDE.md layout rule)
+        attn = jnp.einsum("blhd,bshd->bhls", qh, kh,
                           preferred_element_type=jnp.float32)
-        attn = attn + bias[None]
+        attn = attn + jnp.moveaxis(bias, -1, 0)[None]
         if mask is not None:
-            attn = attn + mask[..., None]
-        attn = jax.nn.softmax(attn, axis=2)
-        out = jnp.einsum("blsh,bshd->blhd", attn.astype(vh.dtype), vh)
+            attn = attn + mask[:, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhls,bshd->blhd", attn.astype(vh.dtype), vh)
         out = out.reshape(Bq, Nq, C)
         if self.use_proj:
             out = nn.Dense(C, name="proj")(out)
@@ -119,9 +120,9 @@ class MultiHeadAttention(nn.Module):
         kh = kh.reshape(B, Nk, self.num_heads, hd)
         vh = vh.reshape(B, Nk, self.num_heads, hd)
         attn = jax.nn.softmax(jnp.einsum(
-            "blhd,bshd->blsh", qh, kh,
-            preferred_element_type=jnp.float32), axis=2)
-        out = jnp.einsum("blsh,bshd->blhd", attn.astype(vh.dtype), vh)
+            "blhd,bshd->bhls", qh, kh,
+            preferred_element_type=jnp.float32), axis=-1)
+        out = jnp.einsum("bhls,bshd->blhd", attn.astype(vh.dtype), vh)
         out = out.reshape(B, Nq, C)
         if self.use_proj:
             out = nn.Dense(C, name="proj")(out)

@@ -32,6 +32,9 @@ class WindowSoftmaxResult(NamedTuple):
     next_conf_c01: jnp.ndarray
     next_conf_c10: jnp.ndarray
     next_local_c01: jnp.ndarray  # [B, L0] int32 window-local argmax
+    # max PRE-softmax sim per query: the detector heatmap fallback uses
+    # logits, not probabilities (reference cascade_matching.py:134-136)
+    max_sim_c01: Optional[jnp.ndarray] = None
 
 
 def _structured_score(f0, f1, corners, hw0, hw1, prop_w: int):
@@ -114,7 +117,8 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
     next_conf10 = jnp.take_along_axis(conf10, local10[..., None], 2)[..., 0]
     next_idx10 = jnp.take_along_axis(idx_c10, local10[..., None], 2)[..., 0]
     return WindowSoftmaxResult(conf01, conf10, next_idx01, next_idx10,
-                               next_conf01, next_conf10, local01)
+                               next_conf01, next_conf10, local01,
+                               max_sim_c01=jnp.max(sim01, axis=2))
 
 
 def window_border_ok(next_idx_c01, hw0, hw1, bd: int,

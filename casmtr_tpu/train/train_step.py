@@ -77,9 +77,18 @@ def make_train_step(model, cfg: Config, tx):
             scalars[f"valid_n_{lvl}"] = jnp.sum(stage.matches.valid)
         return loss, (mutated.get("batch_stats", batch_stats), scalars)
 
+    # gumbel keypoint detection samples noise per step; the model reads the
+    # key from batch['sample_key'] (detect_keypoints asserts it exists)
+    needs_sample_key = any(
+        getattr(c, "detector_mode", None) == "gumbel"
+        for c in (lcfg.coarse2, lcfg.coarse3))
+
     def step_fn(state: TrainState, batch: Dict):
         gt = spv.compute_supervision(batch, lcfg)
         batch = dict(batch)
+        if needs_sample_key:
+            batch["sample_key"] = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.trainer.seed), state.step)
         if lcfg.cascade:
             for level in lcfg.cascade_levels:
                 batch[f"gt_idx_{level}c"] = gt[f"gt_idx_{level}c"]

@@ -175,3 +175,34 @@ def test_build_backbone_registry():
         mod = build_backbone(cfg)
         assert isinstance(mod, cls), (ov, type(mod))
         assert mod.name == "backbone"
+
+
+def test_cascade_windows_decode_with_target_dims(rng):
+    """idx_c01 holds matches ON IMAGE1's half grid; the cross-attention
+    windows must decode/clamp with image1's dims. With unequal image shapes
+    a previous-stage match at image1's bottom-right corner must yield
+    candidates reaching image1's last cell (decoding with image0's narrower
+    width silently shifted every window)."""
+    from casmtr_tpu.models.cascade_transformer import CascadeFeatureTransformer
+
+    lcfg = tiny_casmtr_cfg(levels=(4,))
+    B, C = 1, lcfg.coarse2.d_model
+    H0 = W0 = 8          # this level's grid for image0
+    H1, W1 = 8, 12       # image1 is wider
+    t0 = jnp.asarray(rng.standard_normal((B, H0 * W0, C)), jnp.float32)
+    t1 = jnp.asarray(rng.standard_normal((B, H1 * W1, C)), jnp.float32)
+    # every image0 parent matched image1's bottom-right HALF-grid cell
+    br = (H1 // 2) * (W1 // 2) - 1
+    idx01 = jnp.full((B, (H0 // 2) * (W0 // 2)), br, jnp.int32)
+    idx10 = jnp.zeros((B, (H1 // 2) * (W1 // 2)), jnp.int32)
+
+    model = CascadeFeatureTransformer(lcfg.coarse2, train_size=64)
+    variables = model.init(jax.random.PRNGKey(0), t0, t1, idx01, idx10,
+                           (H0, W0), (H1, W1))
+    _, _, idx01_out, idx10_out, _, _, _ = model.apply(
+        variables, t0, t1, idx01, idx10, (H0, W0), (H1, W1))
+    # candidates are flat indices into image1's full grid
+    assert int(idx01_out.max()) == H1 * W1 - 1
+    assert int(idx01_out.min()) >= 0
+    # and the reverse direction stays inside image0's grid
+    assert int(idx10_out.max()) < H0 * W0
