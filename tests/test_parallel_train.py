@@ -118,3 +118,48 @@ def test_gather_metrics_dedup_last_wins():
     # dedup keeps the LAST 'a#b' (0.5deg, epi 1e-5) and 'c#d'
     assert res["auc@5"] > 0.0
     np.testing.assert_allclose(res["prec@5e-04"], 0.5)
+
+
+def test_train_step_skips_update_on_nonfinite_loss():
+    """A non-finite loss must leave params/opt/EMA untouched (the host-side
+    NaN dump then captures the last-good state, not poisoned arrays)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from casmtr_tpu.config import Config, override
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train.train_step import init_train_state, make_train_step
+    from tests.test_casmtr_model import tiny_casmtr_cfg
+
+    cfg = override(Config(), {"trainer": {"warmup_step": 0, "ema": True}})
+    cfg = dataclasses.replace(cfg, loftr=tiny_casmtr_cfg(levels=(4,)))
+    model = CasMTR(cfg.loftr)
+    rng = np.random.default_rng(0)
+    B, s = 1, 64
+    K = jnp.asarray([[[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]])
+    base = {
+        "depth0": jnp.ones((B, s, s), jnp.float32),
+        "depth1": jnp.ones((B, s, s), jnp.float32),
+        "K0": K, "K1": K,
+        "T_0to1": jnp.eye(4)[None], "T_1to0": jnp.eye(4)[None],
+    }
+    good = dict(base, image0=jnp.asarray(rng.random((B, s, s, 3)), jnp.float32),
+                image1=jnp.asarray(rng.random((B, s, s, 3)), jnp.float32))
+    bad = dict(base, image0=jnp.full((B, s, s, 3), jnp.nan),
+               image1=jnp.full((B, s, s, 3), jnp.nan))
+
+    state, tx = init_train_state(model, cfg, good, jax.random.PRNGKey(0),
+                                 10, 1e-3)
+    step = jax.jit(make_train_step(model, cfg, tx))
+
+    state1, scalars1 = step(state, good)
+    assert np.isfinite(float(scalars1["loss"]))
+    p_before = jax.device_get(state1.params)
+    state2, scalars2 = step(state1, bad)
+    assert not np.isfinite(float(scalars2["loss"]))
+    # params (and EMA) unchanged by the skipped step
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        jax.device_get(state2.params), p_before)
+    assert int(state2.step) == int(state1.step) + 1
