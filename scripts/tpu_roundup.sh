@@ -18,9 +18,12 @@ run() {
     tail -3 "/tmp/roundup_${name}.log"
 }
 
-run parity python scripts/tpu_kernel_parity.py
+# ORDER MATTERS: the driver's end-of-round bench runs `bench.py` (twins) —
+# re-warm that graph first so BENCH_r02 is covered even if the relay drops
+# again mid-queue.
 run bench_twins python bench.py --iters 10 --backbone twins
 run bench_resnet python bench.py --iters 10 --backbone resnet
+run parity python scripts/tpu_kernel_parity.py
 run bench_twins_wca env CASMTR_PALLAS_WINDOW_CROSS=1 \
     python bench.py --iters 10 --backbone twins
 # serving throughput: eval forward, single-pair and batched
