@@ -15,9 +15,16 @@ from casmtr_tpu.config import LoftrConfig
 from casmtr_tpu.structs import MatchOutput
 
 
-def _masked_mean(x, mask):
-    denom = jnp.maximum(mask.sum(), 1.0)
-    return (x * mask).sum() / denom
+def _masked_mean(x, sel, w=None):
+    """Reference-style mean over selected elements: ``(x*w)[sel].mean()``.
+
+    The optional element weight scales the NUMERATOR only — the reference
+    divides by the count of selected elements, weighted or not
+    (cascade_loss.py:50-53,94-96: ``loss_pos * weight[pos_mask]`` then
+    ``.mean()``) — so padded-out elements still count in the denominator."""
+    denom = jnp.maximum(sel.sum(), 1.0)
+    xw = x * sel if w is None else x * sel * w
+    return xw.sum() / denom
 
 
 def coarse_loss(conf, conf_gt, loss_cfg, sparse_spvs: bool,
@@ -27,21 +34,20 @@ def coarse_loss(conf, conf_gt, loss_cfg, sparse_spvs: bool,
     pos = conf_gt == 1
     neg = conf_gt == 0
     conf = jnp.clip(conf, 1e-6, 1 - 1e-6)
-    w = jnp.ones_like(conf) if weight is None else weight
     if loss_cfg.coarse_type == "cross_entropy":
         lp = -jnp.log(conf)
         ln = -jnp.log(1 - conf)
-        return (loss_cfg.pos_weight * _masked_mean(lp, pos * w)
-                + loss_cfg.neg_weight * _masked_mean(ln, neg * w))
+        return (loss_cfg.pos_weight * _masked_mean(lp, pos, weight)
+                + loss_cfg.neg_weight * _masked_mean(ln, neg, weight))
     if loss_cfg.coarse_type == "focal":
         a, g = loss_cfg.focal_alpha, loss_cfg.focal_gamma
         lp = -a * (1 - conf) ** g * jnp.log(conf)
         if sparse_spvs:
             # no dustbin for dual_softmax: positives only (reference :59-87)
-            return loss_cfg.pos_weight * _masked_mean(lp, pos * w)
+            return loss_cfg.pos_weight * _masked_mean(lp, pos, weight)
         ln = -a * conf ** g * jnp.log(1 - conf)
-        return (loss_cfg.pos_weight * _masked_mean(lp, pos * w)
-                + loss_cfg.neg_weight * _masked_mean(ln, neg * w))
+        return (loss_cfg.pos_weight * _masked_mean(lp, pos, weight)
+                + loss_cfg.neg_weight * _masked_mean(ln, neg, weight))
     raise ValueError(loss_cfg.coarse_type)
 
 
@@ -70,16 +76,20 @@ def fine_loss(expec_f, expec_f_gt, valid, loss_cfg) -> jnp.ndarray:
     """l2(_with_std) sub-pixel offset loss (reference cascade_loss.py:137-191).
 
     expec_f: [M, 3]; expec_f_gt: [M, 2]; valid: [M]."""
-    gt = jnp.nan_to_num(expec_f_gt)
-    correct = (jnp.max(jnp.abs(gt), axis=1) < loss_cfg.fine_correct_thr) & valid
+    # correct-mask on the RAW gt: non-finite rows drop out because NaN/inf
+    # comparisons are False (reference :150,168 norm(inf) < thr)
+    correct = (jnp.max(jnp.abs(expec_f_gt), axis=1)
+               < loss_cfg.fine_correct_thr) & valid
+    gt = jnp.where(correct[:, None], jnp.nan_to_num(expec_f_gt), 0.0)
     l2 = ((gt - expec_f[:, :2]) ** 2).sum(-1)
     if loss_cfg.fine_type == "l2":
         return _masked_mean(l2, correct)
-    # l2_with_std: inverse-std weights, normalized over the full set then
-    # detached (reference :170-173)
+    # l2_with_std: inverse-std weights normalized over the REAL rows (the
+    # reference's [M] has no padding; our capacity padding must not shift
+    # the mean), then detached (reference :170-173)
     std = expec_f[:, 2]
     inv = 1.0 / jnp.clip(std, 1e-10)
-    w = jax.lax.stop_gradient(inv / jnp.mean(inv))
+    w = jax.lax.stop_gradient(inv / _masked_mean(inv, valid))
     return _masked_mean(l2 * w, correct)
 
 
