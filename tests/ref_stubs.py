@@ -95,17 +95,8 @@ def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
 
 
 # ---------------------------------------------------------------------------
-# einops.repeat / loguru.logger (supervision.py:3-5 imports)
+# loguru.logger (supervision.py:5, cascade_loss.py:3; einops is real)
 # ---------------------------------------------------------------------------
-
-def einops_repeat(tensor, pattern, **axes):
-    """Only the one pattern the reference supervision uses
-    (supervision.py:15 `repeat(mask, 'n h w -> n (h w) c', c=2)`)."""
-    if pattern.replace(" ", "") == "nhw->n(hw)c":
-        n, h, w = tensor.shape
-        return tensor.reshape(n, h * w, 1).expand(n, h * w, axes["c"])
-    raise NotImplementedError(f"einops stub: pattern {pattern!r}")
-
 
 class _NoopLogger:
     def __getattr__(self, name):
@@ -221,9 +212,6 @@ def install():
     yacs_config = _mod("yacs.config")
     yacs_config.CfgNode = CfgNode
     yacs.config = yacs_config
-
-    einops = _mod("einops")
-    einops.repeat = einops_repeat
 
     loguru = _mod("loguru")
     loguru.logger = _NoopLogger()

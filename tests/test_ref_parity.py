@@ -611,3 +611,145 @@ def test_ref_full_model_forward_parity_2c(rng):
     order_w = np.lexsort(want_k0.T)
     np.testing.assert_allclose(got_k0[order_g], want_k0[order_w],
                                rtol=1e-3, atol=5e-2)
+
+
+def test_ref_full_model_train_parity(rng):
+    """TRAIN-mode system parity on the released 4c recipe: identical
+    supervision -> forward -> window gt labels -> loss VALUE against the
+    reference's own torch pipeline (lightning_cascade.py:191-206 order:
+    compute_supervision_coarse -> matcher -> compute_supervision_fine ->
+    CascadeLoss). Deterministic because the stock recipe has DETECTOR=None,
+    TRAIN_PAD_NUM_GT_MIN=4096 (no subsampling below 4096 gt rows,
+    cascade_matching.py:276-280) and drop_path_rate=0 in the truncated
+    Twins presets (gvt.py:834-849)."""
+    import jax
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage3.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage3 import CasMTR as RefCasMTR
+    ref = RefCasMTR(config=cfg_ref["loftr"]).train()
+    _randomize_bn(ref)
+    # the determinism claim above, enforced
+    from tests.ref_stubs import DropPath
+    from src.model.modules.linear_attention import FullAttention
+    # FullAttention carries a Dropout(0.1) that is never applied
+    # (linear_attention.py:51-54,76-77 use_dropout=False)
+    dead_dropouts = set()
+    for m in ref.modules():
+        if isinstance(m, FullAttention):
+            assert not m.use_dropout
+            dead_dropouts.add(id(m.dropout))
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout) and id(m) not in dead_dropouts:
+            assert m.p == 0.0, "recipe unexpectedly has active dropout"
+        if isinstance(m, DropPath):
+            assert m.drop_prob == 0.0, "recipe unexpectedly has drop_path"
+
+    # synthetic scene with real depth/pose gt (fronto-parallel plane,
+    # small translation -> dense valid matches, no masks/scales)
+    size = 224
+    b = 1
+    img0 = rng.random((b, 3, size, size)).astype(np.float32)
+    img1 = rng.random((b, 3, size, size)).astype(np.float32)
+    depth = np.full((b, size, size), 3.0, np.float32)
+    K = np.array([[200.0, 0, size / 2], [0, 200.0, size / 2], [0, 0, 1]],
+                 np.float32)[None].repeat(b, 0)
+    T01 = np.eye(4, dtype=np.float32)
+    T01[:3, 3] = [0.12, 0.06, 0.0]
+    T10 = np.linalg.inv(T01).astype(np.float32)
+
+    lr = cfg_ref["loftr"]
+    sup_cfg = {"LOFTR": {
+        "CASCADE": True, "COARSE_LEVEL": lr["coarse_level"],
+        "CASCADE_LEVELS": lr["cascade_levels"],
+        "FINE_LEVEL": lr["fine_level"],
+        "FINE_WINDOW_SIZE": lr["fine_window_size"],
+        "RESOLUTION": tuple(lr["resolution"])}}
+
+    from src.model.functions.supervision import (compute_supervision_coarse,
+                                                 compute_supervision_fine)
+    from src.losses.cascade_loss import CascadeLoss
+
+    data = {
+        "image0": torch.from_numpy(img0), "image1": torch.from_numpy(img1),
+        "depth0": torch.from_numpy(depth), "depth1": torch.from_numpy(depth),
+        "K0": torch.from_numpy(K), "K1": torch.from_numpy(K),
+        "T_0to1": torch.from_numpy(T01[None].repeat(b, 0)),
+        "T_1to0": torch.from_numpy(T10[None].repeat(b, 0)),
+        "dataset_name": ["megadepth"] * b, "pair_names": ["synthetic"] * b,
+    }
+    compute_supervision_coarse(data, sup_cfg)
+    assert int(data["gt_stage_4c"]["gt_mask_c01"].sum()) > 500
+    with torch.no_grad():
+        ref(data)
+    compute_supervision_fine(data, sup_cfg)
+    ref_loss_mod = CascadeLoss(cfg_ref).train()
+    ref_loss_mod(data)
+    ref_scalars = {k: float(v) for k, v in data["loss_scalars"].items()}
+
+    # ---- ours: same weights, same batch, train step semantics ----
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train import supervision as spv
+    from casmtr_tpu.train.loss import casmtr_loss
+
+    cfg = build_config("outdoor_casmtr_4c")
+    model = CasMTR(cfg.loftr)
+    batch = {
+        "image0": _to_jax_nhwc(img0), "image1": _to_jax_nhwc(img1),
+        "depth0": jnp.asarray(depth), "depth1": jnp.asarray(depth),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+        "T_0to1": jnp.asarray(T01[None].repeat(b, 0)),
+        "T_1to0": jnp.asarray(T10[None].repeat(b, 0)),
+    }
+    import jax as _jax
+    variables = model.init(_jax.random.PRNGKey(0),
+                           {"image0": batch["image0"],
+                            "image1": batch["image1"]}, train=False)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(_REF_DEAD_PREFIXES)}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+
+    gt = spv.compute_supervision(batch, cfg.loftr)
+    np.testing.assert_array_equal(
+        np.asarray(gt["gt_mask_4c"]), data["gt_stage_4c"]["gt_mask_c01"].numpy())
+    fbatch = dict(batch)
+    fbatch["gt_idx_4c"] = gt["gt_idx_4c"]
+    fbatch["gt_mask_4c"] = gt["gt_mask_4c"]
+    out, _ = model.apply(new_vars, fbatch, train=True,
+                         mutable=["batch_stats"])
+
+    # ---- training row set + window gt labels (cascade_matching.py:262-286)
+    s4 = data["stage_4c"]
+    c4 = out.cascades["4c"]
+    valid = np.asarray(c4.matches.valid)
+    ours_rows = {}
+    bi = np.asarray(c4.matches.b_ids)
+    ii = np.asarray(c4.matches.i_ids)
+    ji = np.asarray(c4.matches.j_ids)
+    lab = np.asarray(c4.window_gt_label)
+    wconf = np.asarray(c4.window_conf)
+    for r in np.nonzero(valid)[0]:
+        ours_rows[(int(bi[r]), int(ii[r]))] = (int(ji[r]), lab[r], wconf[r])
+    ref_rows = {}
+    rb = s4["b_ids"].numpy(); ri = s4["i_ids"].numpy(); rj = s4["j_ids"].numpy()
+    rlab = s4["window_gt_label"].numpy()
+    rconf = s4["window_conf_matrix"].detach().numpy()
+    for r in range(len(rb)):
+        ref_rows[(int(rb[r]), int(ri[r]))] = (int(rj[r]), rlab[r], rconf[r])
+    assert set(ours_rows) == set(ref_rows)
+    for key, (j, l, c) in ref_rows.items():
+        oj, ol, oc = ours_rows[key]
+        assert oj == j, key
+        np.testing.assert_array_equal(ol, l)
+        np.testing.assert_allclose(oc, c, rtol=2e-2, atol=1e-6)
+
+    # ---- loss values (reference CascadeLoss.forward vs casmtr_loss) ----
+    expec_gt = spv.fine_expec_gt(gt, c4.matches, batch, cfg.loftr)
+    loss, scalars = casmtr_loss(out, gt, expec_gt, cfg.loftr)
+    for k in ("loss_8c", "loss_4c", "loss_f", "loss"):
+        np.testing.assert_allclose(float(scalars[k]), ref_scalars[k],
+                                   rtol=5e-2, err_msg=k)
