@@ -753,3 +753,129 @@ def test_ref_full_model_train_parity(rng):
     for k in ("loss_8c", "loss_4c", "loss_f", "loss"):
         np.testing.assert_allclose(float(scalars[k]), ref_scalars[k],
                                    rtol=5e-2, err_msg=k)
+
+
+def test_ref_full_model_train_parity_2c(rng):
+    """TRAIN-mode system parity for the released 2c recipe (stage4: 1/4 AND
+    1/2 cascades with pre-level gating, cascade_model_stage4.py:160-195).
+    192^2 input is the smallest with a coarsest quadtree level (36 tokens)
+    that fits topks[0]=32; a zero-depth band invalidates enough 1/2-level gt
+    rows to stay under the 8192 subsample cap (stage4
+    TRAIN_PAD_NUM_GT_MIN=[4096,8192]) so the reference path stays
+    deterministic."""
+    import jax
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage4.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage4 import CasMTR as RefCasMTR2c
+    ref = RefCasMTR2c(config=cfg_ref["loftr"]).train()
+    _randomize_bn(ref)
+
+    size = 192
+    b = 1
+    img0 = rng.random((b, 3, size, size)).astype(np.float32)
+    img1 = rng.random((b, 3, size, size)).astype(np.float32)
+    depth = np.full((b, size, size), 3.0, np.float32)
+    depth[:, :, :28] = 0.0   # zero-depth band: keeps 1/2 gt rows < 8192
+    K = np.array([[200.0, 0, size / 2], [0, 200.0, size / 2], [0, 0, 1]],
+                 np.float32)[None].repeat(b, 0)
+    T01 = np.eye(4, dtype=np.float32)
+    T01[:3, 3] = [0.12, 0.06, 0.0]
+    T10 = np.linalg.inv(T01).astype(np.float32)
+
+    lr = cfg_ref["loftr"]
+    sup_cfg = {"LOFTR": {
+        "CASCADE": True, "COARSE_LEVEL": lr["coarse_level"],
+        "CASCADE_LEVELS": lr["cascade_levels"],
+        "FINE_LEVEL": lr["fine_level"],
+        "FINE_WINDOW_SIZE": lr["fine_window_size"],
+        "RESOLUTION": tuple(lr["resolution"])}}
+
+    from src.model.functions.supervision import (compute_supervision_coarse,
+                                                 compute_supervision_fine)
+    from src.losses.cascade_loss import CascadeLoss
+
+    data = {
+        "image0": torch.from_numpy(img0), "image1": torch.from_numpy(img1),
+        "depth0": torch.from_numpy(depth), "depth1": torch.from_numpy(depth),
+        "K0": torch.from_numpy(K), "K1": torch.from_numpy(K),
+        "T_0to1": torch.from_numpy(T01[None].repeat(b, 0)),
+        "T_1to0": torch.from_numpy(T10[None].repeat(b, 0)),
+        "dataset_name": ["megadepth"] * b, "pair_names": ["synthetic"] * b,
+    }
+    compute_supervision_coarse(data, sup_cfg)
+    for lvl, cap in (("4c", 4096), ("2c", 8192)):
+        n = int(data[f"gt_stage_{lvl}"]["gt_mask_c01"].sum())
+        assert 200 < n <= cap, (lvl, n)
+    with torch.no_grad():
+        ref(data)
+    compute_supervision_fine(data, sup_cfg)
+    ref_loss_mod = CascadeLoss(cfg_ref).train()
+    ref_loss_mod(data)
+    ref_scalars = {k: float(v) for k, v in data["loss_scalars"].items()}
+
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train import supervision as spv
+    from casmtr_tpu.train.loss import casmtr_loss
+
+    cfg = build_config("outdoor_casmtr_2c")
+    model = CasMTR(cfg.loftr)
+    batch = {
+        "image0": _to_jax_nhwc(img0), "image1": _to_jax_nhwc(img1),
+        "depth0": jnp.asarray(depth), "depth1": jnp.asarray(depth),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+        "T_0to1": jnp.asarray(T01[None].repeat(b, 0)),
+        "T_1to0": jnp.asarray(T10[None].repeat(b, 0)),
+    }
+    variables = model.init(jax.random.PRNGKey(0),
+                           {"image0": batch["image0"],
+                            "image1": batch["image1"]}, train=False)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(_REF_DEAD_PREFIXES)}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+
+    gt = spv.compute_supervision(batch, cfg.loftr)
+    fbatch = dict(batch)
+    for lvl in (4, 2):
+        np.testing.assert_array_equal(
+            np.asarray(gt[f"gt_mask_{lvl}c"]),
+            data[f"gt_stage_{lvl}c"]["gt_mask_c01"].numpy())
+        fbatch[f"gt_idx_{lvl}c"] = gt[f"gt_idx_{lvl}c"]
+        fbatch[f"gt_mask_{lvl}c"] = gt[f"gt_mask_{lvl}c"]
+    out, _ = model.apply(new_vars, fbatch, train=True,
+                         mutable=["batch_stats"])
+
+    for lvl in ("4c", "2c"):
+        s = data[f"stage_{lvl}"]
+        c = out.cascades[lvl]
+        valid = np.asarray(c.matches.valid)
+        bi = np.asarray(c.matches.b_ids)
+        ii = np.asarray(c.matches.i_ids)
+        ji = np.asarray(c.matches.j_ids)
+        lab = np.asarray(c.window_gt_label)
+        wconf = np.asarray(c.window_conf)
+        ours_rows = {(int(bi[r]), int(ii[r])): (int(ji[r]), lab[r], wconf[r])
+                     for r in np.nonzero(valid)[0]}
+        rb = s["b_ids"].numpy(); ri = s["i_ids"].numpy()
+        rj = s["j_ids"].numpy()
+        rlab = s["window_gt_label"].numpy()
+        rconf = s["window_conf_matrix"].detach().numpy()
+        ref_rows = {(int(rb[r]), int(ri[r])): (int(rj[r]), rlab[r], rconf[r])
+                    for r in range(len(rb))}
+        assert set(ours_rows) == set(ref_rows), lvl
+        for key, (j, l, c_) in ref_rows.items():
+            oj, ol, oc = ours_rows[key]
+            assert oj == j, (lvl, key)
+            np.testing.assert_array_equal(ol, l)
+            np.testing.assert_allclose(oc, c_, rtol=2e-2, atol=1e-6)
+
+    expec_gt = spv.fine_expec_gt(gt, out.cascades["2c"].matches, batch,
+                                 cfg.loftr)
+    loss, scalars = casmtr_loss(out, gt, expec_gt, cfg.loftr)
+    for k in ("loss_8c", "loss_4c", "loss_2c", "loss_f", "loss"):
+        np.testing.assert_allclose(float(scalars[k]), ref_scalars[k],
+                                   rtol=5e-2, err_msg=k)
