@@ -160,6 +160,52 @@ def _qt_score_forward(query, key, index):
     return [out.contiguous()]
 
 
+def _qt_score_backward(grad, query, key, index):
+    # backward of _qt_score_forward (score_computation_kernal.cu:94-143):
+    # grad [B,N1,4,K,H] -> [grad_query [B,N1,4,H,D], grad_key [B,N2,H,D]]
+    B, N1, K, H = index.shape
+    D = key.shape[-1]
+    idx = index.permute(0, 1, 3, 2)                            # B,N1,H,K
+    k_bnh = key.permute(0, 2, 1, 3)                            # B,H,N2,D
+    k_g = torch.gather(
+        k_bnh.unsqueeze(1).expand(-1, N1, -1, -1, -1), 3,
+        idx.unsqueeze(-1).expand(-1, -1, -1, -1, D))           # B,N1,H,K,D
+    dq = torch.einsum("bnfkh,bnhkd->bnfhd", grad, k_g)
+    # atomicAdd scatter -> scatter_add over a (key-row, head)-linearized axis
+    src = torch.einsum("bnfkh,bnfhd->bnkhd", grad, query)      # B,N1,K,H,D
+    h_idx = torch.arange(H).view(1, 1, 1, H).expand(B, N1, K, H)
+    lin = (index * H + h_idx).reshape(B, -1, 1).expand(-1, -1, D)
+    dk2 = torch.zeros(B, key.shape[1] * H, D, dtype=key.dtype)
+    dk2.scatter_add_(1, lin, src.reshape(B, -1, D))
+    return [dq.contiguous(), dk2.view(B, key.shape[1], H, D)]
+
+
+def _qt_value_aggregation_backward(grad_output, score, value, index,
+                                   grad_score, grad_value):
+    # backward of _qt_value_aggregation_forward
+    # (value_aggregation_kernel.cu:55-76); fills the output buffers in place
+    # like the CUDA op. Shapes pre-flattened by the wrapper:
+    # grad_output [b,4N,H,D], score/index [b,4N,K,H], value [b,M,H,D].
+    B, N, K, H = index.shape
+    D = value.shape[-1]
+    # the wrapper flattens score/index but passes grad_output still as
+    # [b,n,4,h,d]; the CUDA kernel reads it as flat [b,4n,h,d] memory
+    # (functions/quadtree_attention.py:41-52)
+    grad_output = grad_output.reshape(B, N, H, D)
+    idx = index.permute(0, 1, 3, 2)                            # B,N,H,K
+    v_bnh = value.permute(0, 2, 1, 3)                          # B,H,M,D
+    v_g = torch.gather(
+        v_bnh.unsqueeze(1).expand(-1, N, -1, -1, -1), 3,
+        idx.unsqueeze(-1).expand(-1, -1, -1, -1, D))           # B,N,H,K,D
+    grad_score.copy_(torch.einsum("bnhd,bnhkd->bnkh", grad_output, v_g))
+    src = torch.einsum("bnkh,bnhd->bnkhd", score, grad_output)
+    h_idx = torch.arange(H).view(1, 1, 1, H).expand(B, N, K, H)
+    lin = (index * H + h_idx).reshape(B, -1, 1).expand(-1, -1, D)
+    gv2 = torch.zeros(B, value.shape[1] * H, D, dtype=value.dtype)
+    gv2.scatter_add_(1, lin, src.reshape(B, -1, D))
+    grad_value.copy_(gv2.view(B, value.shape[1], H, D))
+
+
 def _qt_value_aggregation_forward(score, value, index, output):
     # score [b,N,K,H], value [b,M,H,D], index [b,N,K,H]; output [b,N,H,D]
     D = value.shape[-1]
@@ -222,9 +268,11 @@ def install():
 
     scc = _mod("score_computation_cuda")
     scc.score_forward = _qt_score_forward
+    scc.score_backward = _qt_score_backward
 
     vac = _mod("value_aggregation_cuda")
     vac.value_aggregation_forward = _qt_value_aggregation_forward
+    vac.value_aggregation_backward = _qt_value_aggregation_backward
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)

@@ -879,3 +879,134 @@ def test_ref_full_model_train_parity_2c(rng):
     for k in ("loss_8c", "loss_4c", "loss_2c", "loss_f", "loss"):
         np.testing.assert_allclose(float(scalars[k]), ref_scalars[k],
                                    rtol=5e-2, err_msg=k)
+
+
+def test_ref_full_model_grad_parity(rng):
+    """GRADIENT parity on the released 4c recipe: torch autograd through the
+    reference's supervision -> forward -> CascadeLoss chain vs jax.grad of
+    casmtr_loss, from the same converted weights. Loss-value parity cannot
+    see misplaced stop-gradients (the detached reverse direction
+    cascade_matching.py:140, the detached inverse-std weights
+    cascade_loss.py:173, no-grad supervision); gradients can.
+
+    Comparison: per-parameter-leaf relative L2 error of the converted torch
+    grad vs ours, skipping leaves whose reference grad is negligible."""
+    import jax
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/outdoor/"
+        "loftr_ds_quadtree_cas_twins_large_stage3.py")
+    torch.manual_seed(0)
+    from src.model.cascade_model_stage3 import CasMTR as RefCasMTR
+    ref = RefCasMTR(config=cfg_ref["loftr"]).train()
+    _randomize_bn(ref)
+
+    size = 192  # smallest whose coarsest quadtree level fits topks[0]=32
+    b = 1
+    img0 = rng.random((b, 3, size, size)).astype(np.float32)
+    img1 = rng.random((b, 3, size, size)).astype(np.float32)
+    depth = np.full((b, size, size), 3.0, np.float32)
+    K = np.array([[200.0, 0, size / 2], [0, 200.0, size / 2], [0, 0, 1]],
+                 np.float32)[None].repeat(b, 0)
+    T01 = np.eye(4, dtype=np.float32)
+    T01[:3, 3] = [0.12, 0.06, 0.0]
+    T10 = np.linalg.inv(T01).astype(np.float32)
+
+    lr = cfg_ref["loftr"]
+    sup_cfg = {"LOFTR": {
+        "CASCADE": True, "COARSE_LEVEL": lr["coarse_level"],
+        "CASCADE_LEVELS": lr["cascade_levels"],
+        "FINE_LEVEL": lr["fine_level"],
+        "FINE_WINDOW_SIZE": lr["fine_window_size"],
+        "RESOLUTION": tuple(lr["resolution"])}}
+
+    from src.model.functions.supervision import (compute_supervision_coarse,
+                                                 compute_supervision_fine)
+    from src.losses.cascade_loss import CascadeLoss
+
+    data = {
+        "image0": torch.from_numpy(img0), "image1": torch.from_numpy(img1),
+        "depth0": torch.from_numpy(depth), "depth1": torch.from_numpy(depth),
+        "K0": torch.from_numpy(K), "K1": torch.from_numpy(K),
+        "T_0to1": torch.from_numpy(T01[None].repeat(b, 0)),
+        "T_1to0": torch.from_numpy(T10[None].repeat(b, 0)),
+        "dataset_name": ["megadepth"] * b, "pair_names": ["synthetic"] * b,
+    }
+    compute_supervision_coarse(data, sup_cfg)
+    ref(data)                      # grad-enabled forward
+    compute_supervision_fine(data, sup_cfg)
+    CascadeLoss(cfg_ref).train()(data)
+    data["loss"].backward()
+    ref_grads_sd = {k: p.grad.detach().clone()
+                    for k, p in ref.named_parameters()
+                    if p.grad is not None}
+
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.train import supervision as spv
+    from casmtr_tpu.train.loss import casmtr_loss
+
+    cfg = build_config("outdoor_casmtr_4c")
+    model = CasMTR(cfg.loftr)
+    batch = {
+        "image0": _to_jax_nhwc(img0), "image1": _to_jax_nhwc(img1),
+        "depth0": jnp.asarray(depth), "depth1": jnp.asarray(depth),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+        "T_0to1": jnp.asarray(T01[None].repeat(b, 0)),
+        "T_1to0": jnp.asarray(T10[None].repeat(b, 0)),
+    }
+    variables = model.init(jax.random.PRNGKey(0),
+                           {"image0": batch["image0"],
+                            "image1": batch["image1"]}, train=False)
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(_REF_DEAD_PREFIXES)}
+    new_vars, report = convert_state_dict(sd, dict(variables))
+    assert not report["missing"] and not report["unused"], report
+
+    gt = spv.compute_supervision(batch, cfg.loftr)
+    fbatch = dict(batch)
+    fbatch["gt_idx_4c"] = gt["gt_idx_4c"]
+    fbatch["gt_mask_4c"] = gt["gt_mask_4c"]
+
+    def loss_fn(params):
+        out, _ = model.apply({"params": params,
+                              "batch_stats": new_vars["batch_stats"]},
+                             fbatch, train=True, mutable=["batch_stats"])
+        expec_gt = spv.fine_expec_gt(gt, out.cascades["4c"].matches, fbatch,
+                                     cfg.loftr)
+        return casmtr_loss(out, gt, expec_gt, cfg.loftr)[0]
+
+    our_grads = jax.grad(loss_fn)(new_vars["params"])
+
+    # convert the torch grads through the SAME name/layout mapping: layout
+    # transforms are permutations/concats, so grads transform identically.
+    # NaN-filled target marks leaves the reference produced no grad for.
+    nan_params = jax.tree_util.tree_map(lambda x: jnp.full_like(x, jnp.nan),
+                                        new_vars["params"])
+    ref_tree, _ = convert_state_dict(
+        ref_grads_sd, {"params": nan_params,
+                       "batch_stats": new_vars["batch_stats"]}, strict=False)
+    ref_grads = ref_tree["params"]
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(our_grads)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_grads))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                               for _, g in flat_ours)))
+    assert np.isfinite(gnorm) and gnorm > 0
+    bad, checked, skipped = [], 0, 0
+    for path, go in flat_ours:
+        gr = flat_ref[path]
+        if bool(jnp.any(jnp.isnan(gr))):          # no reference grad
+            skipped += 1
+            continue
+        rn = float(jnp.linalg.norm(gr))
+        if rn < 1e-7 * gnorm:                     # negligible reference grad
+            skipped += 1
+            continue
+        rel = float(jnp.linalg.norm(go - gr)) / rn
+        checked += 1
+        if rel > 0.05:
+            bad.append((jax.tree_util.keystr(path), rel, rn))
+    assert checked > 100, (checked, skipped)
+    bad.sort(key=lambda t: -t[1])
+    assert not bad, f"{len(bad)}/{checked} leaves diverge; worst: {bad[:8]}"
