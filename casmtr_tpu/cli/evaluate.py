@@ -52,11 +52,55 @@ def evaluate_batch_outputs(out_np: Dict, batch: Dict, cfg: Config,
         metrics["inliers"].append(inl)
 
 
+def _device_pose_metrics(out_np: Dict, batch: Dict, cfg: Config,
+                         metrics: Dict, pose_jit):
+    """Batched on-device essential-matrix RANSAC (sfm/pose.py) replacing the
+    per-pair host cv2 loop of evaluate_batch_outputs; epipolar errors stay
+    host-side numpy (cheap). The fixed-capacity match buffer goes to the
+    solver whole, one row-mask per pair — a single jit shape for the run."""
+    B = batch["K0"].shape[0]
+    b_ids, valid = out_np["b_ids"], out_np["valid"]
+    sel_b = valid[None, :] & (b_ids[None, :] == np.arange(B)[:, None])
+    Mtot = valid.shape[0]
+    k0 = np.broadcast_to(out_np["mkpts0"], (B, Mtot, 2))
+    k1 = np.broadcast_to(out_np["mkpts1"], (B, Mtot, 2))
+    res = pose_jit(jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(sel_b),
+                   jnp.asarray(batch["K0"]), jnp.asarray(batch["K1"]))
+    ok = np.asarray(res.ok)
+    Rs, ts, inl = np.asarray(res.R), np.asarray(res.t), np.asarray(res.inliers)
+    for b in range(B):
+        sel = sel_b[b]
+        epi = M.compute_epipolar_errors(
+            out_np["mkpts0"][sel], out_np["mkpts1"][sel],
+            batch["T_0to1"][b], batch["K0"][b], batch["K1"][b])
+        if ok[b]:
+            t_err, r_err = M.relative_pose_error(
+                batch["T_0to1"][b], Rs[b], ts[b])
+        else:
+            t_err = r_err = np.inf
+        metrics["identifiers"].append(
+            "#".join(batch["pair_names"][b]) if "pair_names" in batch
+            else f"r{jax.process_index()}pair{len(metrics['identifiers'])}")
+        metrics["epi_errs"].append(epi)
+        metrics["R_errs"].append(r_err)
+        metrics["t_errs"].append(t_err)
+        metrics["inliers"].append(inl[b][sel])
+
+
 def run_eval(cfg: Config, params, dataset=None, max_pairs: Optional[int] = None,
              profiler_name: Optional[str] = None,
-             dump_dir: Optional[str] = None) -> Dict:
+             dump_dir: Optional[str] = None,
+             pose_solver: str = "cv2") -> Dict:
     model = build_model(cfg.loftr)
     profiler = build_profiler(profiler_name)
+    pose_jit = None
+    if pose_solver == "device":
+        from functools import partial
+        from casmtr_tpu.sfm.pose import estimate_pose_batch
+        pose_jit = jax.jit(partial(estimate_pose_batch,
+                                   thr_px=cfg.trainer.ransac_pixel_thr))
+    elif pose_solver != "cv2":
+        raise ValueError(f"unknown pose solver: {pose_solver!r}")
 
     @jax.jit
     def forward(variables, batch):
@@ -85,7 +129,10 @@ def run_eval(cfg: Config, params, dataset=None, max_pairs: Optional[int] = None,
             out = forward(params, dev_batch)
             out_np = {k: np.asarray(v) for k, v in out.items()}
         with profiler.profile("RANSAC"):
-            evaluate_batch_outputs(out_np, batch, cfg, metrics)
+            if pose_jit is not None:
+                _device_pose_metrics(out_np, batch, cfg, metrics, pose_jit)
+            else:
+                evaluate_batch_outputs(out_np, batch, cfg, metrics)
         if dump_dir is not None:
             dumps.append({k: out_np[k] for k in out_np})
         n += batch["K0"].shape[0]
@@ -123,6 +170,11 @@ def main(argv=None):
                         "(reference test.py:28 --test_img_size)")
     p.add_argument("--overrides-json", default=None,
                    help="inline JSON config overrides (applied last)")
+    p.add_argument("--pose-solver", default="cv2",
+                   choices=("cv2", "device"),
+                   help="cv2 = reference protocol (per-pair host RANSAC, "
+                        "metrics.py:85-110); device = batched on-device "
+                        "essential-matrix RANSAC (sfm/pose.py)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -147,7 +199,8 @@ def main(argv=None):
         variables = load_checkpoint_variables(args.ckpt, variables)
 
     results = run_eval(cfg, variables, max_pairs=args.max_pairs,
-                       profiler_name=args.profiler, dump_dir=args.dump_dir)
+                       profiler_name=args.profiler, dump_dir=args.dump_dir,
+                       pose_solver=args.pose_solver)
     print(json.dumps({k: float(v) for k, v in results.items()}, indent=2))
 
 

@@ -29,4 +29,5 @@ run bench_twins_wca env CASMTR_PALLAS_WINDOW_CROSS=1 \
 # serving throughput: eval forward, single-pair and batched
 run eval_b1 python scripts/bench_eval_throughput.py --iters 20
 run eval_b4 python scripts/bench_eval_throughput.py --iters 10 --batch 4
+run pose python scripts/bench_pose_solver.py
 echo "ALL DONE"

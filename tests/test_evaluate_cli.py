@@ -32,7 +32,7 @@ def test_evaluate_cli_overrides_reach_run_eval(monkeypatch, capsys):
     seen = {}
 
     def fake_run_eval(cfg, params, dataset=None, max_pairs=None,
-                      profiler_name=None, dump_dir=None):
+                      profiler_name=None, dump_dir=None, pose_solver="cv2"):
         seen["cfg"] = cfg
         seen["max_pairs"] = max_pairs
         return {"auc@5": 0.0}

@@ -80,3 +80,29 @@ def test_plotting_figure(tmp_path, rng):
     out = str(tmp_path / "fig.png")
     make_evaluation_figure(img0, img1, mk0, mk1, errs, 5e-4, path=out)
     assert os.path.exists(out)
+
+
+def test_run_eval_device_pose_solver(tmp_path, rng):
+    """--pose-solver device path: the batched on-device RANSAC
+    (sfm/pose.py) replaces the per-pair cv2 loop and produces the same
+    metric schema end-to-end."""
+    npz = make_fake_scene(tmp_path, "0006", n_pairs=2, hw=(96, 128))
+    lcfg = tiny_casmtr_cfg((4,))
+    cfg = Config(loftr=lcfg)
+    cfg = override(cfg, {
+        "dataset": {"mgdpt_img_resize": 64, "mgdpt_df": 32},
+        "trainer": {"epi_err_thr": 1e-4},
+    })
+    ds = MegaDepthDataset(str(tmp_path), npz, mode="test", is_rgb=True,
+                          img_resize=64, df=32, img_padding=True)
+    model = build_model(cfg.loftr)
+    sample = ds[0]
+    init_batch = {"image0": jnp.asarray(sample["image0"][None]),
+                  "image1": jnp.asarray(sample["image1"][None])}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+
+    from casmtr_tpu.cli.evaluate import run_eval
+    results = run_eval(cfg, variables, dataset=ds, max_pairs=2,
+                       pose_solver="device")
+    assert "auc@10" in results
+    assert 0.0 <= results["auc@10"] <= 1.0
