@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--keyframes", type=int, nargs="+", default=None,
                    help="explicit keyframe indices (skips adaptive "
                         "selection)")
+    p.add_argument("--pose-solver", default="cv2",
+                   choices=("cv2", "device"),
+                   help="cv2 = per-pair host RANSAC; device = batched "
+                        "on-device essential-matrix RANSAC (sfm/pose.py)")
     p.add_argument("--out", default="recon.json")
     p.add_argument("--ply", default=None)
     p.add_argument("--overrides-json", default=None,
@@ -99,7 +103,8 @@ def main(argv=None):
         match_fn, len(paths), K, keyframes=args.keyframes,
         min_matches=args.min_matches, max_gap=args.max_gap,
         overlaps=tuple(args.overlaps), ba_iters=args.ba_iters,
-        huber_delta=args.huber if args.huber > 0 else None)
+        huber_delta=args.huber if args.huber > 0 else None,
+        pose_solver=args.pose_solver)
 
     centers = Rc.camera_centers(res.problem)
     n_obs = int(np.asarray(res.problem.obs_valid).sum())

@@ -189,23 +189,66 @@ def build_tracks(matches: PairMatches, quant: float = 4.0,
 # chained initialization with scale propagation
 # ---------------------------------------------------------------------------
 
+def _pose_failed(i: int, j: int, n: int):
+    warnings.warn(
+        f"RANSAC pose failed for keyframe pair ({i}, {j}) "
+        f"({n} matches) — inserting a near-identity fallback; "
+        f"the trajectory past frame {i} is unreliable", RuntimeWarning)
+    return np.eye(3), np.array([0.0, 0.0, 1e-3]), None
+
+
 def _pair_pose(matches: PairMatches, i: int, j: int, K: np.ndarray,
                thresh: float = 0.5):
     mk0, mk1, _ = matches[(i, j)]
     ret = estimate_pose(mk0.astype(np.float64), mk1.astype(np.float64),
                         K, K, thresh)
     if ret is None:
-        warnings.warn(
-            f"RANSAC pose failed for keyframe pair ({i}, {j}) "
-            f"({len(mk0)} matches) — inserting a near-identity fallback; "
-            f"the trajectory past frame {i} is unreliable", RuntimeWarning)
-        return np.eye(3), np.array([0.0, 0.0, 1e-3]), None
+        return _pose_failed(i, j, len(mk0))
     R, t, inl = ret
     return R, t, inl
 
 
+def _pair_poses_device(matches: PairMatches, pairs, K: np.ndarray,
+                       thresh: float):
+    """All pair poses in ONE call to the batched on-device RANSAC
+    (sfm/pose.py) — replaces the per-pair host cv2 loop. Matches are padded
+    to a 256-multiple capacity bucket so repeated reconstructions reuse one
+    compiled shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from casmtr_tpu.sfm.pose import estimate_pose_batch
+
+    counts = [len(matches[p][0]) for p in pairs]
+    B = len(pairs)
+    M = max(256, int(np.ceil(max(counts) / 256.0)) * 256)
+    k0 = np.zeros((B, M, 2), np.float32)
+    k1 = np.zeros((B, M, 2), np.float32)
+    v = np.zeros((B, M), bool)
+    for a, p in enumerate(pairs):
+        mk0, mk1, _ = matches[p]
+        k0[a, :counts[a]] = mk0
+        k1[a, :counts[a]] = mk1
+        v[a, :counts[a]] = True
+    Kt = jnp.asarray(np.broadcast_to(K.astype(np.float32), (B, 3, 3)))
+    res = jax.jit(estimate_pose_batch, static_argnames=("thr_px",))(
+        jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(v), Kt, Kt,
+        thr_px=float(thresh))
+    ok = np.asarray(res.ok)
+    Rs, ts, inl = (np.asarray(res.R, np.float64),
+                   np.asarray(res.t, np.float64), np.asarray(res.inliers))
+    out = []
+    for a, (i, j) in enumerate(pairs):
+        if ok[a]:
+            out.append((Rs[a], ts[a], inl[a, :counts[a]]))
+        else:
+            out.append(_pose_failed(i, j, counts[a]))
+    return out
+
+
 def chain_with_scale(matches: PairMatches, frames: Sequence[int],
-                     K: np.ndarray, thresh: float = 0.5, quant: float = 4.0):
+                     K: np.ndarray, thresh: float = 0.5, quant: float = 4.0,
+                     pose_solver: str = "cv2"):
     """Monocular incremental chain: consecutive relative poses from RANSAC,
     with each pair's unit-norm translation rescaled so that the depths of
     keypoints shared between pair (a,b) and pair (b,c) agree in frame b
@@ -213,9 +256,17 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
     first pair sets the global scale (ambiguity is inherent)."""
     rel: List[Tuple[np.ndarray, np.ndarray]] = []
     prev_depth: Optional[Dict[Tuple[int, int], float]] = None
+    device_poses = None
+    if pose_solver == "device":
+        consecutive = [(frames[a], frames[a + 1])
+                       for a in range(len(frames) - 1)]
+        device_poses = _pair_poses_device(matches, consecutive, K, thresh)
+    elif pose_solver != "cv2":
+        raise ValueError(f"unknown pose solver: {pose_solver!r}")
     for a in range(len(frames) - 1):
         i, j = frames[a], frames[a + 1]
-        R, t, inl = _pair_pose(matches, i, j, K, thresh)
+        R, t, inl = (device_poses[a] if device_poses is not None
+                     else _pair_pose(matches, i, j, K, thresh))
         mk0, mk1, _ = matches[(i, j)]
         if inl is not None:
             mk0, mk1 = mk0[inl], mk1[inl]
@@ -274,7 +325,8 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
                          min_conf: float = 0.0, ransac_thresh: float = 0.5,
                          quant: float = 4.0, min_track_len: int = 2,
                          ba_iters: int = 20, huber_delta: float = 3.0,
-                         max_obs: Optional[int] = None) -> SfMResult:
+                         max_obs: Optional[int] = None,
+                         pose_solver: str = "cv2") -> SfMResult:
     """End-to-end: keyframes -> partitioned pair matching -> chained init
     with scale propagation -> tracks -> triangulation -> robust Schur BA
     (Huber, ``huber_delta`` px — wrong track merges become gross outliers;
@@ -293,7 +345,7 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
     matches = match_pairs(match_fn, pairs, min_conf=min_conf,
                           precomputed=cache)
     Rs, ts = chain_with_scale(matches, keyframes, K, thresh=ransac_thresh,
-                              quant=quant)
+                              quant=quant, pose_solver=pose_solver)
     kf_index = {f: a for a, f in enumerate(keyframes)}
     raw_tracks = build_tracks(matches, quant=quant, min_len=min_track_len)
     tracks = {tid: [(kf_index[f], uv) for f, uv in views]

@@ -251,3 +251,24 @@ def test_model_match_fn_smoke(rng, tmp_path):
     mk0, mk1, conf = fn(0, 1)
     assert mk0.shape == mk1.shape and mk0.shape[1] == 2
     assert len(conf) == len(mk0)
+
+
+def test_chain_with_scale_device_solver():
+    """pose_solver='device' (batched on-device RANSAC, sfm/pose.py) chains
+    the same trajectory as the cv2 path on the varying-baseline scene."""
+    rng = np.random.default_rng(3)
+    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]])
+    pts = np.stack([rng.uniform(-4, 4, 150), rng.uniform(-3, 3, 150),
+                    rng.uniform(6, 10, 150)], -1)
+    tvecs = np.array([[0, 0, 0], [-0.3, 0, 0], [-1.2, 0, 0]])
+    rvecs = np.zeros((3, 3))
+    uvs = [np.asarray(G.project(jnp.asarray(rv), jnp.asarray(tv),
+                                jnp.asarray(pts), jnp.asarray(K)))
+           for rv, tv in zip(rvecs, tvecs)]
+    matches = {(i, j): (uvs[i], uvs[j], np.ones(len(pts)))
+               for i, j in [(0, 1), (1, 2)]}
+    Rs, ts = pl.chain_with_scale(matches, [0, 1, 2], K,
+                                 pose_solver="device")
+    b01 = np.linalg.norm(ts[1] - ts[0])
+    b12 = np.linalg.norm(ts[2] - ts[1])
+    assert abs(b12 / b01 - 3.0) < 0.15, (b01, b12)
