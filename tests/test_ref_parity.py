@@ -1010,3 +1010,34 @@ def test_ref_full_model_grad_parity(rng):
     assert checked > 100, (checked, skipped)
     bad.sort(key=lambda t: -t[1])
     assert not bad, f"{len(bad)}/{checked} leaves diverge; worst: {bad[:8]}"
+
+
+def test_ref_full_tree_refine():
+    """PMT-refine model tree (reference cascade_quadtree_stage3.py:77-110:
+    frozen quadtree trunk + Ladder_4_2 + cas_-prefixed 4c/fine heads) maps
+    fully through the converter against our CasMTRRefine. Unlike the plain
+    indoor 4c (whose published dims are inconsistent, see
+    test_ref_full_tree_indoor_4c), the refine model computes on refine_dims
+    and is consistent as published."""
+    from casmtr_tpu.configs import build_config
+    from casmtr_tpu.models.casmtr_refine import CasMTRRefine
+
+    cfg_ref = reference_config(
+        "/root/reference/configs/model_configs/indoor/"
+        "loftr_ds_quadtree_cas_stage3.py")
+    torch.manual_seed(0)
+    from src.model.cascade_quadtree_stage3 import CasMTR as RefRefine
+    ref = RefRefine(config=cfg_ref["loftr"])
+    sd = ref.state_dict()
+
+    cfg = build_config("indoor_casmtr_4c")
+    model = CasMTRRefine(cfg.loftr)
+    img = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           {"image0": img, "image1": img}, train=False))
+    live_sd = {k: np.zeros(tuple(v.shape), np.float32)
+               for k, v in sd.items()}
+    _, report = convert_state_dict(live_sd, dict(variables), strict=False)
+    assert not report["missing"], report["missing"][:10]
+    assert not report["unused"], report["unused"][:10]
