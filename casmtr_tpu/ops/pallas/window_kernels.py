@@ -219,39 +219,39 @@ def _wca_group_sizes(H: int):
 
 def _embed_heads(x, H: int, D: int):
     """[N, H, D] -> [N*H, H*D]: row (n, h) holds x[n, h] at cols h*D..,
-    zeros elsewhere (static slice writes only — Mosaic-safe)."""
+    zeros elsewhere.  Built as lane-tile + iota mask: Mosaic has no
+    value-level dynamic_update_slice lowering (KernelType.TC), and all
+    offsets are static anyway."""
     N = x.shape[0]
-    z = jnp.zeros((N, H, H * D), x.dtype)
-    for h in range(H):
-        z = jax.lax.dynamic_update_slice(
-            z, x[:, h:h + 1, :], (0, h, h * D))
+    colh = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 1) // D
+    rowh = jax.lax.broadcasted_iota(jnp.int32, (H, H * D), 0)
+    mask = (colh == rowh).astype(x.dtype)            # [H, H*D] block eye
+    z = jnp.concatenate([x] * H, axis=-1) * mask[None]   # [N, H, H*D]
     return z.reshape(N * H, H * D)
 
 
 def _extract_heads(x, H: int, D: int):
     """Inverse selection of _embed_heads: [N*H, H*D] -> [N, H, D] taking
-    row (n, h)'s cols h*D:(h+1)*D."""
+    row (n, h)'s cols h*D:(h+1)*D (static slices only)."""
     NH = x.shape[0]
     x4 = x.reshape(NH // H, H, H * D)
-    outs = [jax.lax.dynamic_slice(x4, (0, h, h * D), (NH // H, 1, D))
-            for h in range(H)]
+    outs = [x4[:, h:h + 1, h * D:(h + 1) * D] for h in range(H)]
     return jnp.concatenate(outs, axis=1)            # [N, H, D]
 
 
 def _block_diag_extract(big, R: int, C: int, G: int):
-    """[G*R, G*C] -> [G*R, C] taking the G diagonal blocks."""
+    """[G*R, G*C] -> [G*R, C] taking the G diagonal blocks (static slices)."""
     return jnp.concatenate(
-        [jax.lax.dynamic_slice(big, (i * R, i * C), (R, C))
-         for i in range(G)], axis=0)
+        [big[i * R:(i + 1) * R, i * C:(i + 1) * C] for i in range(G)], axis=0)
 
 
 def _block_diag_embed(cmp, R: int, C: int, G: int):
-    """[G*R, C] -> [G*R, G*C] placing block i at (i*R, i*C), zeros elsewhere."""
-    z = jnp.zeros((G * R, G * C), cmp.dtype)
-    for i in range(G):
-        z = jax.lax.dynamic_update_slice(
-            z, jax.lax.dynamic_slice(cmp, (i * R, 0), (R, C)), (i * R, i * C))
-    return z
+    """[G*R, C] -> [G*R, G*C] placing block i at (i*R, i*C), zeros elsewhere
+    (lane-tile + iota mask, same Mosaic constraint as _embed_heads)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G * R, G * C), 0) // R
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G * R, G * C), 1) // C
+    mask = (rows == cols).astype(cmp.dtype)
+    return jnp.concatenate([cmp] * G, axis=1) * mask
 
 
 def _wca_fwd_kernel(corners_ref, q_ref, kv_ref, msg_ref, lse_ref,

@@ -41,8 +41,17 @@ def bench(name, fn, *args):
 
 
 def main():
+    # `--only wca` skips the (long) masked-flash sections — used to re-run
+    # just the window-cross-attention validation after a kernel change.
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv \
+        else None
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
+
+    if only == "wca":
+        _wca_section(rng)
+        print("ALL OK", flush=True)
+        return
 
     # ---- compiled parity (f32, level-1-like geometry with topk) ----
     # HIGHEST matmul precision isolates math parity from the TPU default
@@ -165,6 +174,12 @@ def main():
     finally:
         gather_ops.set_backend("auto")
 
+    _wca_section(rng)
+
+    print("ALL OK", flush=True)
+
+
+def _wca_section(rng):
     # ---- fused window cross-attention (cascade) at production geometry ----
     from casmtr_tpu.ops.pallas.window_kernels import (
         window_cross_attention, window_cross_attention_oracle)
@@ -236,8 +251,6 @@ def main():
     bench("wca gather fwd", chain_wca_fwd(orac_wca), qb)
     bench("wca kernel fwd+bwd", chain_wca(kern_wca), qb)
     bench("wca gather fwd+bwd", chain_wca(orac_wca), qb)
-
-    print("ALL OK", flush=True)
 
 
 if __name__ == "__main__":
