@@ -58,6 +58,11 @@ def main(argv=None):
                    choices=("cv2", "device"),
                    help="cv2 = per-pair host RANSAC; device = batched "
                         "on-device essential-matrix RANSAC (sfm/pose.py)")
+    p.add_argument("--pgo", action="store_true",
+                   help="refine the chained init with pose-graph "
+                        "optimization over all matched pairs before BA "
+                        "(sfm/pose_graph.py; cancels chain drift on long "
+                        "sequences)")
     p.add_argument("--out", default="recon.json")
     p.add_argument("--ply", default=None)
     p.add_argument("--overrides-json", default=None,
@@ -104,7 +109,7 @@ def main(argv=None):
         min_matches=args.min_matches, max_gap=args.max_gap,
         overlaps=tuple(args.overlaps), ba_iters=args.ba_iters,
         huber_delta=args.huber if args.huber > 0 else None,
-        pose_solver=args.pose_solver)
+        pose_solver=args.pose_solver, pgo=args.pgo)
 
     centers = Rc.camera_centers(res.problem)
     n_obs = int(np.asarray(res.problem.obs_valid).sum())

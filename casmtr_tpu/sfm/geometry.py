@@ -13,21 +13,29 @@ import jax.numpy as jnp
 
 
 def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle [.., 3] -> rotation matrix [.., 3, 3] (differentiable,
-    stable at theta -> 0 via the sinc expansions)."""
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = rvec / theta
-    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
-    zero = jnp.zeros_like(kx)
+    """Axis-angle [.., 3] -> rotation matrix [.., 3, 3].
+
+    Written with the UNNORMALIZED skew matrix and sinc-style coefficients
+    ``R = I + a(th) K + b(th) K^2`` (a = sin th / th, b = (1-cos th)/th^2)
+    so the Jacobian is finite and exact at theta = 0 — dividing by a
+    clamped ``norm(rvec)`` makes jacfwd produce NaN at exactly zero (the
+    0/0 tangent of the norm), which poisons Gauss-Newton systems whose
+    initial rotation is the identity (pose-graph averaging, BA camera 0)."""
+    theta2 = jnp.sum(rvec * rvec, axis=-1, keepdims=True)     # [.., 1]
+    small = theta2 < 1e-12
+    t2s = jnp.where(small, 1.0, theta2)      # branch-safe select-on-input
+    th = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(th)) / t2s)
+    rx, ry, rz = rvec[..., 0], rvec[..., 1], rvec[..., 2]
+    zero = jnp.zeros_like(rx)
     K = jnp.stack([
-        jnp.stack([zero, -kz, ky], -1),
-        jnp.stack([kz, zero, -kx], -1),
-        jnp.stack([-ky, kx, zero], -1),
+        jnp.stack([zero, -rz, ry], -1),
+        jnp.stack([rz, zero, -rx], -1),
+        jnp.stack([-ry, rx, zero], -1),
     ], -2)
-    t = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    return eye + jnp.sin(t) * K + (1 - jnp.cos(t)) * (K @ K)
+    return eye + a[..., None] * K + b[..., None] * (K @ K)
 
 
 def project(rvec: jnp.ndarray, tvec: jnp.ndarray, X: jnp.ndarray,

@@ -246,9 +246,24 @@ def _pair_poses_device(matches: PairMatches, pairs, K: np.ndarray,
     return out
 
 
+def pair_relative_poses(matches: PairMatches, pairs, K: np.ndarray,
+                        thresh: float = 0.5, pose_solver: str = "cv2"
+                        ) -> Dict[Tuple[int, int], tuple]:
+    """Relative pose (R, t-unit, inlier mask or None-on-failure) for every
+    pair — one batched on-device RANSAC call, or the per-pair cv2 loop."""
+    pairs = list(pairs)
+    if pose_solver == "device":
+        return dict(zip(pairs, _pair_poses_device(matches, pairs, K, thresh)))
+    if pose_solver != "cv2":
+        raise ValueError(f"unknown pose solver: {pose_solver!r}")
+    return {(i, j): _pair_pose(matches, i, j, K, thresh) for i, j in pairs}
+
+
 def chain_with_scale(matches: PairMatches, frames: Sequence[int],
                      K: np.ndarray, thresh: float = 0.5, quant: float = 4.0,
-                     pose_solver: str = "cv2"):
+                     pose_solver: str = "cv2",
+                     pair_poses: Optional[Dict[Tuple[int, int], tuple]]
+                     = None):
     """Monocular incremental chain: consecutive relative poses from RANSAC,
     with each pair's unit-norm translation rescaled so that the depths of
     keypoints shared between pair (a,b) and pair (b,c) agree in frame b
@@ -257,7 +272,10 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
     rel: List[Tuple[np.ndarray, np.ndarray]] = []
     prev_depth: Optional[Dict[Tuple[int, int], float]] = None
     device_poses = None
-    if pose_solver == "device":
+    if pair_poses is not None:
+        device_poses = [pair_poses[(frames[a], frames[a + 1])]
+                        for a in range(len(frames) - 1)]
+    elif pose_solver == "device":
         consecutive = [(frames[a], frames[a + 1])
                        for a in range(len(frames) - 1)]
         device_poses = _pair_poses_device(matches, consecutive, K, thresh)
@@ -305,6 +323,45 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
 
 
 # ---------------------------------------------------------------------------
+# pose-graph refinement (rotation + translation/scale averaging)
+# ---------------------------------------------------------------------------
+
+def refine_with_pose_graph(Rs: np.ndarray, ts: np.ndarray,
+                           pair_poses: Dict[Tuple[int, int], tuple],
+                           keyframes: Sequence[int],
+                           rot_iters: int = 8, trans_rounds: int = 4
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Distribute the chain's accumulated drift over ALL matched pairs
+    (sfm/pose_graph.py): failed-RANSAC pairs contribute no edge; edges are
+    weighted by sqrt inlier count. No-op (returns the input) when the graph
+    carries no redundancy beyond the chain itself."""
+    from casmtr_tpu.sfm.pose_graph import PoseGraph, optimize_pose_graph
+    kf_index = {f: a for a, f in enumerate(keyframes)}
+    ei, ej, Rr, tr, w = [], [], [], [], []
+    for (i, j), (R, t, inl) in pair_poses.items():
+        if inl is None or i not in kf_index or j not in kf_index:
+            continue
+        n = np.linalg.norm(np.asarray(t))
+        ei.append(kf_index[i])
+        ej.append(kf_index[j])
+        Rr.append(np.asarray(R, np.float32))
+        tr.append(np.asarray(t, np.float32) / max(float(n), 1e-12))
+        w.append(np.sqrt(max(int(np.sum(inl)), 1)))
+    # a chain has C-1 edges; PGO needs redundant ones to say anything new
+    if len(ei) < len(keyframes):
+        return Rs, ts
+    wn = np.asarray(w, np.float32)
+    g = PoseGraph(jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+                  jnp.asarray(np.stack(Rr)), jnp.asarray(np.stack(tr)),
+                  jnp.asarray(wn / wn.max()))
+    R2, t2 = optimize_pose_graph(jnp.asarray(Rs, jnp.float32),
+                                 jnp.asarray(ts, jnp.float32), g,
+                                 rot_iters=rot_iters,
+                                 trans_rounds=trans_rounds)
+    return np.asarray(R2, np.float64), np.asarray(t2, np.float64)
+
+
+# ---------------------------------------------------------------------------
 # full pipeline
 # ---------------------------------------------------------------------------
 
@@ -326,11 +383,16 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
                          quant: float = 4.0, min_track_len: int = 2,
                          ba_iters: int = 20, huber_delta: float = 3.0,
                          max_obs: Optional[int] = None,
-                         pose_solver: str = "cv2") -> SfMResult:
+                         pose_solver: str = "cv2",
+                         pgo: bool = False) -> SfMResult:
     """End-to-end: keyframes -> partitioned pair matching -> chained init
     with scale propagation -> tracks -> triangulation -> robust Schur BA
     (Huber, ``huber_delta`` px — wrong track merges become gross outliers;
-    pass None for plain least squares). ``cost`` is in rho units."""
+    pass None for plain least squares). ``cost`` is in rho units.
+
+    ``pgo``: refine the chained init by pose-graph optimization over ALL
+    matched pairs (the overlap>=2 / loop pairs cancel chain drift) before
+    BA — recommended for long sequences."""
     if 1 not in overlaps:
         raise ValueError("overlaps must include 1: the chained "
                          "initialization needs every consecutive keyframe "
@@ -344,8 +406,16 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
     pairs = pair_graph(keyframes, overlaps)
     matches = match_pairs(match_fn, pairs, min_conf=min_conf,
                           precomputed=cache)
+    pair_poses = None
+    if pgo:
+        pair_poses = pair_relative_poses(matches, pairs, K,
+                                         thresh=ransac_thresh,
+                                         pose_solver=pose_solver)
     Rs, ts = chain_with_scale(matches, keyframes, K, thresh=ransac_thresh,
-                              quant=quant, pose_solver=pose_solver)
+                              quant=quant, pose_solver=pose_solver,
+                              pair_poses=pair_poses)
+    if pgo:
+        Rs, ts = refine_with_pose_graph(Rs, ts, pair_poses, keyframes)
     kf_index = {f: a for a, f in enumerate(keyframes)}
     raw_tracks = build_tracks(matches, quant=quant, min_len=min_track_len)
     tracks = {tid: [(kf_index[f], uv) for f, uv in views]
