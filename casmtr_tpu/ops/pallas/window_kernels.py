@@ -230,17 +230,29 @@ def _embed_heads(x, H: int, D: int):
     return z.reshape(N * H, H * D)
 
 
-def _extract_heads(x, H: int, D: int):
-    """Inverse selection of _embed_heads: [N*H, H*D] -> [N, H, D] taking
-    row (n, h)'s cols h*D:(h+1)*D (static slices only)."""
-    NH = x.shape[0]
-    x4 = x.reshape(NH // H, H, H * D)
-    outs = [x4[:, h:h + 1, h * D:(h + 1) * D] for h in range(H)]
-    return jnp.concatenate(outs, axis=1)            # [N, H, D]
+def _extract_heads_xla(x):
+    """[..., H, H*D] -> [..., H, D]: row h takes cols h*D:(h+1)*D.  Runs
+    OUTSIDE the kernel: Mosaic's concatenate requires matching lane offsets
+    on non-concat dims, and the h*D offsets differ per head — the kernels
+    therefore emit the head-packed ("big") layout and XLA unpacks it."""
+    H = x.shape[-2]
+    D = x.shape[-1] // H
+    return jnp.stack([x[..., h, h * D:(h + 1) * D] for h in range(H)],
+                     axis=-2)
+
+
+def _pad_lanes(C: int) -> int:
+    """Candidate-block stride rounded up to the 128-lane tile: diagonal-block
+    extraction slices at multiples of this stride, and Mosaic only
+    concatenates vectors whose lane offsets match on non-concat dims
+    (offsets i*C mod 128 differ for C=100 -> 'result/input offset mismatch
+    on non-concat dimension')."""
+    return -(-C // 128) * 128
 
 
 def _block_diag_extract(big, R: int, C: int, G: int):
-    """[G*R, G*C] -> [G*R, C] taking the G diagonal blocks (static slices)."""
+    """[G*R, G*C] -> [G*R, C] taking the G diagonal blocks (static slices;
+    C must be a multiple of 128 — see _pad_lanes)."""
     return jnp.concatenate(
         [big[i * R:(i + 1) * R, i * C:(i + 1) * C] for i in range(G)], axis=0)
 
@@ -261,6 +273,7 @@ def _wca_fwd_kernel(corners_ref, q_ref, kv_ref, msg_ref, lse_ref,
     b = pl.program_id(0)
     HD = H * D
     C = S * S
+    Cp = _pad_lanes(C)
     R, G = _wca_group_sizes(H)
 
     def dma(i):
@@ -279,23 +292,28 @@ def _wca_fwd_kernel(corners_ref, q_ref, kv_ref, msg_ref, lse_ref,
             dma(g * G + i).wait()
         qg = q_all[g * G:(g + 1) * G].reshape(G * 4, H, D)
         qp = _embed_heads(qg, H, D)                  # [G*R, HD]
-        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G * C, 2 * HD)
+        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G, C, 2 * HD)
+        if Cp != C:   # zero-pad rows so diag blocks are lane-tile aligned
+            kv_g = jnp.pad(kv_g, ((0, 0), (0, Cp - C), (0, 0)))
+        kv_g = kv_g.reshape(G * Cp, 2 * HD)
         k_g = kv_g[:, :HD]
         v_g = kv_g[:, HD:]
         s_big = jax.lax.dot_general(
             qp, k_g, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [G*R, G*C]
-        s_cmp = _block_diag_extract(s_big, R, C, G) * scale
+            preferred_element_type=jnp.float32)      # [G*R, G*Cp]
+        s_cmp = _block_diag_extract(s_big, R, Cp, G) * scale
+        if Cp != C:   # pad keys are zero vectors, not -inf: mask them out
+            lane = jax.lax.broadcasted_iota(jnp.int32, (G * R, Cp), 1)
+            s_cmp = jnp.where(lane < C, s_cmp, -1e30)
         m = jnp.max(s_cmp, axis=1, keepdims=True)
         p = jnp.exp(s_cmp - m)
         l = jnp.sum(p, axis=1, keepdims=True)
-        a_big = _block_diag_embed(p.astype(v_g.dtype), R, C, G)
+        a_big = _block_diag_embed(p.astype(v_g.dtype), R, Cp, G)
         o_big = jax.lax.dot_general(
             a_big, v_g, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [G*R, HD]
-        o_cmp = _extract_heads(o_big, H, D)          # [G*4, H, D]
-        msg_ref[0, g * G:(g + 1) * G] = (
-            o_cmp / l.reshape(G * 4, H, 1)).reshape(G, 4, H, D)
+        # head-packed output; per-head lanes unpacked OUTSIDE the kernel
+        msg_ref[0, g * G:(g + 1) * G] = (o_big / l).reshape(G, R, HD)
         lse_ref[0, g * G:(g + 1) * G] = (m + jnp.log(l)).reshape(G, R)
 
 
@@ -309,6 +327,7 @@ def _wca_bwd_kernel(corners_ref, q_ref, g_ref, o_ref, lse_ref, kv_ref,
     b = pl.program_id(0)
     HD = H * D
     C = S * S
+    Cp = _pad_lanes(C)
     R, G = _wca_group_sizes(H)
 
     @pl.when(pl.program_id(1) == 0)
@@ -338,40 +357,46 @@ def _wca_bwd_kernel(corners_ref, q_ref, g_ref, o_ref, lse_ref, kv_ref,
         lse = lse_ref[0, g * G:(g + 1) * G].reshape(G * R, 1)
         qp = _embed_heads(qg, H, D)                  # [G*R, HD]
         gp = _embed_heads(gg.astype(kdt), H, D)
-        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G * C, 2 * HD)
+        kv_g = patch_scr[g * G:(g + 1) * G].reshape(G, C, 2 * HD)
+        if Cp != C:   # lane-tile-align the diag blocks (see fwd kernel)
+            kv_g = jnp.pad(kv_g, ((0, 0), (0, Cp - C), (0, 0)))
+        kv_g = kv_g.reshape(G * Cp, 2 * HD)
         k_g = kv_g[:, :HD]
         v_g = kv_g[:, HD:]
         s_big = jax.lax.dot_general(
             qp, k_g, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s_cmp = _block_diag_extract(s_big, R, C, G) * scale
-        a = jnp.exp(s_cmp - lse)                     # [G*R, C] normalized
+        s_cmp = _block_diag_extract(s_big, R, Cp, G) * scale
+        if Cp != C:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (G * R, Cp), 1)
+            s_cmp = jnp.where(lane < C, s_cmp, -1e30)
+        a = jnp.exp(s_cmp - lse)                     # [G*R, Cp] normalized
         # delta = rowsum(dO * O) (saved forward output)
         delta = jnp.sum(gg * og, axis=-1).reshape(G * R, 1)
         dp_big = jax.lax.dot_general(
             gp, v_g, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = _block_diag_extract(dp_big, R, C, G)
-        ds = (a * (dp - delta) * scale)              # [G*R, C] f32
-        ds_big = _block_diag_embed(ds.astype(kdt), R, C, G)
-        a_big = _block_diag_embed(a.astype(kdt), R, C, G)
+        dp = _block_diag_extract(dp_big, R, Cp, G)
+        ds = (a * (dp - delta) * scale)              # [G*R, Cp] f32
+        ds_big = _block_diag_embed(ds.astype(kdt), R, Cp, G)
+        a_big = _block_diag_embed(a.astype(kdt), R, Cp, G)
         dq_big = jax.lax.dot_general(
             ds_big, k_g, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [G*R, HD]
-        dq_cmp = _extract_heads(dq_big, H, D)        # [G*4, H, D]
-        dq_ref[0, g * G:(g + 1) * G] = dq_cmp.reshape(G, 4, H, D)
+        # head-packed dq; per-head lanes unpacked OUTSIDE the kernel
+        dq_ref[0, g * G:(g + 1) * G] = dq_big.reshape(G, R, HD)
         dk_g = jax.lax.dot_general(
             ds_big, qp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [G*C, HD]
+            preferred_element_type=jnp.float32)      # [G*Cp, HD]
         dv_g = jax.lax.dot_general(
             a_big, gp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [G*C, HD]
-        dkv_g = jnp.concatenate([dk_g, dv_g], axis=-1)  # [G*C, 2HD]
+            preferred_element_type=jnp.float32)      # [G*Cp, HD]
+        dkv_g = jnp.concatenate([dk_g, dv_g], axis=-1)  # [G*Cp, 2HD]
         for i in range(G):
             pi = g * G + i
             ty = corners_ref[0, pi, 0] * 2
             tx = corners_ref[0, pi, 1] * 2
-            dkv_i = dkv_g[i * C:(i + 1) * C].reshape(S, S, 2 * HD)
+            dkv_i = dkv_g[i * Cp:i * Cp + C].reshape(S, S, 2 * HD)
             for r in range(S):
                 row0 = (ty + r) * w1 + tx
                 acc = dkv_ref[0, pl.ds(row0, S), :]
@@ -411,8 +436,12 @@ def _wca_prepare(q, k, v, corners, hw_q, hw_k):
 
 
 def _wca_fwd_call(q_blk, kv2d, corners, S, interpret):
+    """Returns the HEAD-PACKED message [B, P_pad, R, H*D] (row (f, h) holds
+    head h's message in lanes h*D:(h+1)*D) + LSE; unpack with
+    _extract_heads_xla outside the kernel."""
     B, P_pad, _, H, D = q_blk.shape
     R, _ = _wca_group_sizes(H)
+    HD = H * D
     scale = D ** -0.5
     grid = (B, P_pad // _WTP)
     kern = functools.partial(_wca_fwd_kernel, S=S, H=H, D=D, scale=scale)
@@ -426,13 +455,13 @@ def _wca_fwd_call(q_blk, kv2d, corners, S, interpret):
             pl.BlockSpec(memory_space=pl.ANY),        # kv2d whole in HBM
         ],
         out_specs=(
-            pl.BlockSpec((1, _WTP, 4, H, D), lambda b, p: (b, p, 0, 0, 0),
+            pl.BlockSpec((1, _WTP, R, HD), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _WTP, R), lambda b, p: (b, p, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, P_pad, 4, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, P_pad, R, HD), jnp.float32),
             jax.ShapeDtypeStruct((B, P_pad, R), jnp.float32),
         ),
         scratch_shapes=[
@@ -444,6 +473,13 @@ def _wca_fwd_call(q_blk, kv2d, corners, S, interpret):
     return msg, lse
 
 
+def _wca_unpack(big, P):
+    """[B, P_pad, R, H*D] head-packed -> [B, P, 4, H, D]."""
+    B, _, R, HD = big.shape
+    H = R // 4
+    return _extract_heads_xla(big[:, :P].reshape(B, P, 4, H, HD))
+
+
 def _wca_bwd_call(q_blk, kv2d, corners, msg, lse, g_blk, S, w1, interpret):
     B, P_pad, _, H, D = q_blk.shape
     Lk = kv2d.shape[1] * kv2d.shape[2]
@@ -453,6 +489,7 @@ def _wca_bwd_call(q_blk, kv2d, corners, msg, lse, g_blk, S, w1, interpret):
     grid = (B, P_pad // _WTP)
     kern = functools.partial(_wca_bwd_kernel, S=S, H=H, D=D, scale=scale,
                              w1=w1)
+    HD = H * D
     blk5 = pl.BlockSpec((1, _WTP, 4, H, D), lambda b, p: (b, p, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     dq, dkv = pl.pallas_call(
@@ -468,12 +505,13 @@ def _wca_bwd_call(q_blk, kv2d, corners, msg, lse, g_blk, S, w1, interpret):
             pl.BlockSpec(memory_space=pl.ANY),        # kv2d whole in HBM
         ],
         out_specs=(
-            blk5,                                     # dq
+            pl.BlockSpec((1, _WTP, R, HD), lambda b, p: (b, p, 0, 0),
+                         memory_space=pltpu.VMEM),    # dq (head-packed)
             pl.BlockSpec((1, Lk, F), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),    # dkv (revisited)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, P_pad, 4, H, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, P_pad, R, HD), jnp.float32),
             jax.ShapeDtypeStruct((B, Lk, F), jnp.float32),
         ),
         scratch_shapes=[
@@ -502,13 +540,15 @@ def window_cross_attention(q, k, v, corners, hw_q, hw_k, w: int,
     """
     q_blk, kv2d, corners, P, _ = _wca_prepare(q, k, v, corners, hw_q, hw_k)
     msg, _ = _wca_fwd_call(q_blk, kv2d, corners, 2 * w, interpret)
-    return msg[:, :P]
+    return _wca_unpack(msg, P)
 
 
 def _wca_fwd(q, k, v, corners, hw_q, hw_k, w, interpret):
-    q_blk, kv2d, corners_p, P, _ = _wca_prepare(q, k, v, corners, hw_q, hw_k)
-    msg, lse = _wca_fwd_call(q_blk, kv2d, corners_p, 2 * w, interpret)
-    return msg[:, :P], (q, k, v, corners, msg, lse)
+    q_blk, kv2d, corners_p, P, P_pad = _wca_prepare(q, k, v, corners,
+                                                    hw_q, hw_k)
+    msg_big, lse = _wca_fwd_call(q_blk, kv2d, corners_p, 2 * w, interpret)
+    msg = _wca_unpack(msg_big, P)
+    return msg, (q, k, v, corners, msg, lse)
 
 
 def _wca_bwd(hw_q, hw_k, w, interpret, res, g):
@@ -519,13 +559,16 @@ def _wca_bwd(hw_q, hw_k, w, interpret, res, g):
     q_blk, kv2d, corners_p, P, P_pad = _wca_prepare(q, k, v, corners,
                                                     hw_q, hw_k)
     g_blk = g.astype(q.dtype)
+    msg_blk = msg                       # f32, as the kernel emitted it
     if P_pad != P:
         g_blk = jnp.pad(g_blk, ((0, 0), (0, P_pad - P)) + ((0, 0),) * 3)
-    dq_blk, dkv = _wca_bwd_call(q_blk, kv2d, corners_p, msg, lse, g_blk,
+        msg_blk = jnp.pad(msg_blk, ((0, 0), (0, P_pad - P)) + ((0, 0),) * 3)
+    dq_big, dkv = _wca_bwd_call(q_blk, kv2d, corners_p, msg_blk, lse, g_blk,
                                 2 * w, w1, interpret)
     from casmtr_tpu.ops.quadtree import unblock_children
     h0, w0 = hw_q
-    dq = unblock_children(dq_blk[:, :P], h0 // 2, w0 // 2).astype(q.dtype)
+    dq = unblock_children(_wca_unpack(dq_big, P),
+                          h0 // 2, w0 // 2).astype(q.dtype)
     dk = dkv[..., :HD].reshape(B, h1 * w1, H, D).astype(k.dtype)
     dv = dkv[..., HD:].reshape(B, h1 * w1, H, D).astype(v.dtype)
     return dq, dk, dv, None
