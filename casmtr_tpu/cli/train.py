@@ -204,7 +204,23 @@ def main(argv=None):
     p.add_argument("--overrides-json", default=None,
                    help="inline JSON config overrides (applied last; the "
                         "reference's trailing `opts` pairs)")
+    # multi-process launch (the reference's PL `--num_nodes` DDP entry,
+    # train.py:136-148): on Cloud TPU pods pass --dist alone (autodetect);
+    # elsewhere pass all three explicit values per process
+    p.add_argument("--dist", action="store_true",
+                   help="call jax.distributed.initialize() (autodetects on "
+                        "TPU pods)")
+    p.add_argument("--dist-coordinator", default=None,
+                   help="host:port of process 0 (explicit multi-process)")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.dist or args.dist_coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id)
 
     overrides = {"trainer": {"seed": args.seed}}
     if args.stage is not None:
@@ -227,7 +243,8 @@ def main(argv=None):
           f"warmup={cfg.trainer.warmup_step}")
 
     os.makedirs(args.run_dir, exist_ok=True)
-    dump(cfg, os.path.join(args.run_dir, "config.json"))
+    if jax.process_index() == 0:
+        dump(cfg, os.path.join(args.run_dir, "config.json"))
     from casmtr_tpu.utils.logging import TensorBoardWriter, get_logger
     tb = TensorBoardWriter(os.path.join(args.run_dir, "tb"))
     log = get_logger()

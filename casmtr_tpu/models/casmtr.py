@@ -147,8 +147,17 @@ class CasMTR(nn.Module):
             cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse_8c")(
                 t8_0, t8_1, hw0_8c, hw1_8c, mask_8c0, mask_8c1)
 
+        # rt/rd test gates of any later cascade stage consume the coarse
+        # second-best tracking (off by default: the extra argmax would
+        # otherwise change the standard eval graph)
+        pcs = [cfg.coarse2.post_config]
+        if len(levels) > 1:
+            pcs.append(cfg.coarse3.post_config)
+        gates_on = (not train) and any(
+            p.rt is not None or p.rd is not None for p in pcs)
         ds = matching.dual_softmax(
-            t8_0, t8_1, cfg.match_coarse.dsmax_temperature, mask_8c0, mask_8c1)
+            t8_0, t8_1, cfg.match_coarse.dsmax_temperature, mask_8c0, mask_8c1,
+            track_second=gates_on)
         matches_8c = matching.extract_coarse_matches(
             ds.conf_matrix, cfg.match_coarse.thr, cfg.match_coarse.border_rm,
             hw0_8c, hw1_8c, cfg.match_coarse.max_matches, scale=H0 / hw0_8c[0],
@@ -194,12 +203,20 @@ class CasMTR(nn.Module):
                 conf_matrix_8c=ds.conf_matrix, train=train)
 
             c4 = _cas_cfg(cfg.match_cascade, 0)
+            pc4 = cfg.coarse2.post_config
+            # ws4's second-best feeds its own rt gate AND (as a pre level)
+            # the 2c stage's rt gate
+            track4 = (not train) and (
+                pc4.rt is not None
+                or (len(levels) > 1
+                    and cfg.coarse3.post_config.rt is not None))
             ws4 = cm.window_softmax_matching(
                 t4_0, t4_1, idx_4c01, idx_4c10, c4["temperature"],
                 mask_4c0, mask_4c1, corners0=corners_4c01,
                 corners1=corners_4c10, hw0=tuple(hw0_4c), hw1=tuple(hw1_4c),
                 prop_window=(cfg.coarse2.window_size
-                             if corners_4c01 is not None else 0))
+                             if corners_4c01 is not None else 0),
+                track_second=track4)
             s_d2d, d2d_w = _stage_d2d(cfg.coarse2, t4_0, hw0_4c)
             if train:
                 mask4 = cm.cascade_match_mask_train(
@@ -213,7 +230,11 @@ class CasMTR(nn.Module):
                     pre_thrs=list(c4["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
                     double_check=c4["double_check"], mask0_2d=m4_0,
-                    mask1_2d=m4_1, s_d2d=s_d2d, d2d_w=d2d_w)
+                    mask1_2d=m4_1, s_d2d=s_d2d, d2d_w=d2d_w,
+                    rt=pc.rt, rd=pc.rd,
+                    pre_confs_s=[ds.next_conf_c01_s],
+                    rd_coarse=((ds.next_idx_c01, ds.next_idx_c01_s,
+                                tuple(hw0_8c)) if pc.rd is not None else None))
             m_cap4 = (min(c4["train_pad_num_gt_min"], c4["max_matches"])
                       if train else c4["max_matches"])
             matches_4c, extras4 = cm.extract_cascade_matches(
@@ -273,12 +294,14 @@ class CasMTR(nn.Module):
                 conf_matrix_8c=ds.conf_matrix, train=train)
 
             c2 = _cas_cfg(cfg.match_cascade, 1)
+            pc2 = cfg.coarse3.post_config
             ws2 = cm.window_softmax_matching(
                 t2_0, t2_1, idx_2c01, idx_2c10, c2["temperature"],
                 mask_2c0, mask_2c1, corners0=corners_2c01,
                 corners1=corners_2c10, hw0=tuple(hw0_f), hw1=tuple(hw1_f),
                 prop_window=(cfg.coarse3.window_size
-                             if corners_2c01 is not None else 0))
+                             if corners_2c01 is not None else 0),
+                track_second=(not train) and pc2.rt is not None)
             s_d2d2, d2d_w2 = _stage_d2d(cfg.coarse3, t2_0, tuple(hw0_f))
             if train:
                 mask2 = cm.cascade_match_mask_train(
@@ -293,7 +316,11 @@ class CasMTR(nn.Module):
                     pre_thrs=list(c2["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
                     double_check=c2["double_check"], mask0_2d=m2_0,
-                    mask1_2d=m2_1, s_d2d=s_d2d2, d2d_w=d2d_w2)
+                    mask1_2d=m2_1, s_d2d=s_d2d2, d2d_w=d2d_w2,
+                    rt=pc.rt, rd=pc.rd,
+                    pre_confs_s=[ds.next_conf_c01_s, ws4.next_conf_c01_s],
+                    rd_coarse=((ds.next_idx_c01, ds.next_idx_c01_s,
+                                tuple(hw0_8c)) if pc.rd is not None else None))
             m_cap2 = (min(c2["train_pad_num_gt_min"], c2["max_matches"])
                       if train else c2["max_matches"])
             matches_2c, extras2 = cm.extract_cascade_matches(

@@ -35,6 +35,11 @@ class WindowSoftmaxResult(NamedTuple):
     # max PRE-softmax sim per query: the detector heatmap fallback uses
     # logits, not probabilities (reference cascade_matching.py:134-136)
     max_sim_c01: Optional[jnp.ndarray] = None
+    # second-best window softmax (the reference declares these at
+    # cascade_matching.py:130 but never computes them — see
+    # matching.DualSoftmaxResult): computed on request for the rt gate
+    next_conf_c01_s: Optional[jnp.ndarray] = None  # [B, L0]
+    next_idx_c01_s: Optional[jnp.ndarray] = None   # [B, L0] global idx
 
 
 def _structured_score(f0, f1, corners, hw0, hw1, prop_w: int):
@@ -49,7 +54,11 @@ def _structured_score(f0, f1, corners, hw0, hw1, prop_w: int):
     h1, w1 = hw1
     q_blk = block_children(f0, h0, w0)                     # [B, P, 4, C]
     f1_2d = f1.reshape(B, h1, w1, C)
-    on_tpu = jax.devices()[0].platform == "tpu"
+    # Mosaic only lowers the kernel's unaligned patch DMA for a feature dim
+    # of EXACTLY one f32 lane tile (probed on device 2026-08-19; see
+    # window_kernels.py) — other widths (e.g. the 2c recipe's d_model 64)
+    # take the jnp gather path
+    on_tpu = jax.devices()[0].platform == "tpu" and C == 128
     if on_tpu:
         from casmtr_tpu.ops.pallas.window_kernels import \
             window_patch_score_pallas
@@ -64,7 +73,8 @@ def _structured_score(f0, f1, corners, hw0, hw1, prop_w: int):
 def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
                             mask0=None, mask1=None, corners0=None,
                             corners1=None, hw0=None, hw1=None,
-                            prop_window: int = 0) -> WindowSoftmaxResult:
+                            prop_window: int = 0,
+                            track_second: bool = False) -> WindowSoftmaxResult:
     """Window-restricted softmax both directions
     (reference cascade_matching.py:87-149; the 1->0 direction is detached).
 
@@ -116,9 +126,20 @@ def window_softmax_matching(feat0, feat1, idx_c01, idx_c10, temperature: float,
     local10 = conf10.argmax(axis=2).astype(jnp.int32)
     next_conf10 = jnp.take_along_axis(conf10, local10[..., None], 2)[..., 0]
     next_idx10 = jnp.take_along_axis(idx_c10, local10[..., None], 2)[..., 0]
+    next_conf01_s = next_idx01_s = None
+    if track_second:
+        k = jnp.arange(conf01.shape[2], dtype=jnp.int32)[None, None]
+        conf01_wo = jnp.where(k == local01[..., None], -1.0, conf01)
+        local01_s = conf01_wo.argmax(axis=2).astype(jnp.int32)
+        next_conf01_s = jnp.take_along_axis(conf01_wo,
+                                            local01_s[..., None], 2)[..., 0]
+        next_idx01_s = jnp.take_along_axis(idx_c01,
+                                           local01_s[..., None], 2)[..., 0]
     return WindowSoftmaxResult(conf01, conf10, next_idx01, next_idx10,
                                next_conf01, next_conf10, local01,
-                               max_sim_c01=jnp.max(sim01, axis=2))
+                               max_sim_c01=jnp.max(sim01, axis=2),
+                               next_conf_c01_s=next_conf01_s,
+                               next_idx_c01_s=next_idx01_s)
 
 
 def window_border_ok(next_idx_c01, hw0, hw1, bd: int,
@@ -167,14 +188,49 @@ def cascade_match_mask_test(
         pre_thrs: Sequence[float], post_method: Optional[str],
         post_window: Optional[int], post_topk: Optional[int] = None,
         double_check: bool = True, mask0_2d=None, mask1_2d=None,
-        s_d2d=None, d2d_w=None) -> jnp.ndarray:
-    """Test-time filtering chain (reference cascade_matching.py:191-251)."""
+        s_d2d=None, d2d_w=None,
+        rt: Optional[float] = None, rd: Optional[float] = None,
+        pre_confs_s: Optional[Sequence[jnp.ndarray]] = None,
+        rd_coarse: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                  Tuple[int, int]]] = None) -> jnp.ndarray:
+    """Test-time filtering chain (reference cascade_matching.py:191-251).
+
+    ``rt``/``rd`` gates (reference :193-231): the reference DECLARES these in
+    config (default.py POST_CONFIG.RT/RD, both None in every released recipe)
+    and consumes them here, but the ``next_{conf,idx}_c01_s`` second-best
+    tensors they read are set to None at every producer
+    (coarse_matching.py:74, cascade_matching.py:130) — enabling them crashes
+    the reference. This build completes the intended plumbing: ``rt`` drops a
+    match when second_best/best confidence exceeds it (at this level AND at
+    every pre level, nearest-upsampled); ``rd`` drops it when the normalized
+    distance between the coarse (8c) best and second-best targets exceeds it.
+    ``pre_confs_s`` parallels ``pre_confs``; ``rd_coarse`` is
+    (idx_c01_8c, idx_c01_s_8c, hw_8c).
+    """
     mask = nms.post_process_mask(post_method, ws.next_conf_c01, hw0, test_thr,
                                  window=post_window, topk=post_topk,
                                  s_d2d=s_d2d, d2d_w=d2d_w)
-    for pre_conf, pre_hw, pre_thr in zip(pre_confs, pre_hws, pre_thrs):
+    if rt is not None:
+        ts = ws.next_conf_c01_s / (ws.next_conf_c01 + 1e-7)
+        mask &= ~(ts > rt)
+    for i, (pre_conf, pre_hw, pre_thr) in enumerate(
+            zip(pre_confs, pre_hws, pre_thrs)):
         up = upscale_per_position(pre_conf, pre_hw, hw0)
         mask &= up > pre_thr
+        if rt is not None:
+            up_s = upscale_per_position(pre_confs_s[i], pre_hw, hw0)
+            mask &= ~(up_s / (up + 1e-7) > rt)
+    if rd is not None:
+        # reference :216-231, applied only for the '8c' pre level: distance
+        # between the best and second-best coarse targets in grid-normalized
+        # xy, nearest-upsampled to this level
+        idx8, idx8_s, (h8, w8) = rd_coarse
+        x = (idx8 % w8).astype(jnp.float32) / w8
+        y = (idx8 // w8).astype(jnp.float32) / h8
+        xs = (idx8_s % w8).astype(jnp.float32) / w8
+        ys = (idx8_s // w8).astype(jnp.float32) / h8
+        dist = jnp.sqrt((x - xs) ** 2 + (y - ys) ** 2)
+        mask &= ~(upscale_per_position(dist, (h8, w8), hw0) > rd)
     return _mask_common_tail(ws, mask, hw0, hw1, bd, double_check,
                              mask0_2d, mask1_2d)
 

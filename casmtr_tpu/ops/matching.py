@@ -24,16 +24,26 @@ class DualSoftmaxResult(NamedTuple):
     next_idx_c10: jnp.ndarray   # [B, L1] int32
     next_conf_c01: jnp.ndarray  # [B, L0]
     next_conf_c10: jnp.ndarray  # [B, L1]
+    # second-best row softmax (the reference DECLARES these —
+    # coarse_matching.py:74 ``next_conf_c01_s`` — but always leaves them
+    # None, so its rt/rd gates crash if ever enabled; here they are computed
+    # on request, feeding the cascade ratio/distance gates)
+    next_conf_c01_s: Optional[jnp.ndarray] = None  # [B, L0]
+    next_idx_c01_s: Optional[jnp.ndarray] = None   # [B, L0] int32
 
 
 def dual_softmax(feat0: jnp.ndarray, feat1: jnp.ndarray, temperature: float,
                  mask0: Optional[jnp.ndarray] = None,
-                 mask1: Optional[jnp.ndarray] = None) -> DualSoftmaxResult:
+                 mask1: Optional[jnp.ndarray] = None,
+                 track_second: bool = False) -> DualSoftmaxResult:
     """Dual-softmax confidence (reference: coarse_matching.py:62-84).
 
     feat0: [B, L0, C]; feat1: [B, L1, C]; masks [B, L] (1 = valid).
     Features are L2-style normalized by sqrt(C) before the similarity, and the
     similarity is divided by ``temperature`` (T=0.1 default).
+    ``track_second`` additionally records the second-best row softmax
+    confidence/index (only needed by the cascade rt/rd test gates; off by
+    default to keep the standard graph unchanged).
     """
     c = feat0.shape[-1]
     f0 = feat0.astype(jnp.float32) / (c ** 0.5)
@@ -51,8 +61,17 @@ def dual_softmax(feat0: jnp.ndarray, feat1: jnp.ndarray, temperature: float,
     next_idx_c01 = sm01.argmax(axis=2).astype(jnp.int32)
     next_conf_c10 = sm10.max(axis=1)
     next_idx_c10 = sm10.argmax(axis=1).astype(jnp.int32)
+    next_conf_c01_s = next_idx_c01_s = None
+    if track_second:
+        # re-max with the best column knocked out (softmax values are >= 0,
+        # so -1 never wins); XLA fuses the where into the reduction
+        j = jnp.arange(sm01.shape[2], dtype=jnp.int32)[None, None]
+        sm01_wo = jnp.where(j == next_idx_c01[..., None], -1.0, sm01)
+        next_conf_c01_s = sm01_wo.max(axis=2)
+        next_idx_c01_s = sm01_wo.argmax(axis=2).astype(jnp.int32)
     return DualSoftmaxResult(conf, next_idx_c01, next_idx_c10,
-                             next_conf_c01, next_conf_c10)
+                             next_conf_c01, next_conf_c10,
+                             next_conf_c01_s, next_idx_c01_s)
 
 
 def _border_ok(rows, cols, bd, h, w, h_valid=None, w_valid=None):

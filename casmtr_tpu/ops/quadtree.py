@@ -483,10 +483,15 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
 
     if window_structured and rel_pos is None and dilated == 1:
         from casmtr_tpu.ops.gather_ops import use_pallas_window_cross
-        # VMEM-resident dK||dV accumulator bound (v5e: 128 MiB VMEM); the
-        # kernel's parent grouping needs H | 128/4 (power-of-two heads)
-        acc_mb = h1 * w1 * 2 * H * D * 4 / 2 ** 20
-        if use_pallas_window_cross() and acc_mb <= 72 and (H & (H - 1)) == 0:
+        # the kernel rides K/V in 128-lane f32 planes (the only layout whose
+        # unaligned patch DMA Mosaic lowers — see window_kernels.py): one
+        # packed K||V plane when 2HD <= 128, else one each; VMEM-resident
+        # dK/dV accumulator bound from that plane count. Parent grouping
+        # needs power-of-two heads; plane packing needs D | 128, HD <= 128.
+        n_planes = 1 if 2 * H * D <= 128 else 2
+        acc_mb = h1 * w1 * n_planes * 128 * 4 / 2 ** 20
+        eligible = (H & (H - 1)) == 0 and 128 % D == 0 and H * D <= 128
+        if use_pallas_window_cross() and acc_mb <= 72 and eligible:
             from casmtr_tpu.ops.pallas.window_kernels import (
                 window_cross_attention)
             w_prop = int(round(Kw ** 0.5))

@@ -65,7 +65,15 @@ def _log_so3(R: jnp.ndarray) -> jnp.ndarray:
     f = jnp.where(theta < 1e-4,
                   0.5 + theta * theta / 12.0,
                   theta / (2.0 * jnp.sin(theta)))
-    return f * v
+    # theta ~ pi: v -> 0, so the sinc form collapses an exactly-twisted
+    # rotation to a near-zero residual — the robustifier would score such an
+    # outlier edge as an inlier. Recover the axis from diag((R + I)/2) =
+    # a a^T and return a norm-theta residual (sign from v; arbitrary at
+    # exactly pi, where only the norm feeds the Huber weight).
+    d = jnp.maximum(jnp.diagonal(R) + 1.0, 1e-12) / 2.0
+    axis = jnp.sqrt(d) * jnp.where(v < 0.0, -1.0, 1.0)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+    return jnp.where(cos < -1.0 + 1e-4, theta * axis, f * v)
 
 
 def _huber_w(norms: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -197,7 +205,11 @@ def average_translations(Rs: jnp.ndarray, ts: jnp.ndarray, g: PoseGraph,
         # t_0 = 0 (the usual world frame), so rescaling is
         # optimality-preserving; skipped for a non-origin pinned camera
         lam = s0.sum() / jnp.maximum(s2.sum(), 1e-12)
-        lam = jnp.where(jnp.linalg.norm(ts[0]) < 1e-9, lam, 1.0)
+        # guard: an outlier-heavy round can drive sum(s2) to ~0 or negative
+        # (per-edge scales are unconstrained in sign); rescaling would then
+        # blow ts/s up to garbage. Keep the un-rescaled iterate instead.
+        sane = s2.sum() > 0.05 * s0.sum()
+        lam = jnp.where(sane & (jnp.linalg.norm(ts[0]) < 1e-9), lam, 1.0)
         return (ts2 * lam, s2 * lam), None
 
     (ts, s), _ = jax.lax.scan(solve, (ts, s0), jnp.arange(rounds))

@@ -51,11 +51,27 @@ def build_lr_schedule(tcfg: TrainerConfig, base_lr: float,
         warm = tcfg.warmup_step
         base = jnp.asarray(base_lr, jnp.float32)
         if tcfg.scheduler == "MultiStepLR":
+            # EXACT reference semantics (lightning_cascade.py:161-174 +
+            # torch MultiStepLR's multiplicative step): the warmup loop only
+            # SETS pg['lr'] while step < warmup and never restores
+            # initial_lr, so the post-warmup level is the LAST warmup value
+            # (((warm-1)/warm)*base for ratio 0); milestone gammas multiply
+            # the CURRENT lr, so milestones that fall inside warmup are
+            # overwritten by the next warmup assignment and never take
+            # effect. ~0.02% from the idealized schedule at the recipes'
+            # warmup=4800 but exact for trajectory parity.
+            if warm > 0 and tcfg.warmup_type == "linear":
+                w0f = tcfg.warmup_ratio * base_lr
+                eff_base = w0f + ((warm - 1) / warm) * abs(base_lr - w0f)
+            else:
+                eff_base = base_lr
             epoch = step // steps_per_epoch
             decay = jnp.asarray(1.0, jnp.float32)
             for m in milestones:
-                decay = decay * jnp.where(epoch >= m, tcfg.mslr_gamma, 1.0)
-            lr = base * decay
+                if m * steps_per_epoch >= warm:   # survives the warmup
+                    decay = decay * jnp.where(epoch >= m, tcfg.mslr_gamma,
+                                              1.0)
+            lr = jnp.asarray(eff_base, jnp.float32) * decay
         elif tcfg.scheduler == "CosineAnnealing":
             epoch = step / steps_per_epoch
             lr = (tcfg.min_lr + (base - tcfg.min_lr) * 0.5
@@ -95,24 +111,42 @@ def new_stage_labels(params):
     return walk(params, "")
 
 
-def stage_warmup_schedule(schedule, tcfg: TrainerConfig, restore_step: int):
-    """Wrap a base LR schedule with the new-stage warmup
-    (reference lightning_cascade.py:175-181): for ``warmup_step_stages``
-    steps after the restore point, the new modules ramp linearly from
-    ``warmup_ratio_stages * base/2`` to ``base/2`` (the reference halves the
-    base LR for new stages), then rejoin the main schedule."""
+def stage_warmup_schedule(schedule, tcfg: TrainerConfig, base_lr: float,
+                          restore_step: int, steps_per_epoch: int = 1):
+    """Wrap a base LR schedule with the new-stage warmup — EXACT reference
+    semantics (lightning_cascade.py:175-181 + torch MultiStepLR's
+    multiplicative step): for ``warmup_step_stages`` steps after the restore
+    point, the new modules ramp linearly from
+    ``warmup_ratio_stages * initial_lr/2`` toward ``initial_lr/2`` (the
+    reference halves pg['initial_lr'] — the CONSTANT true lr — for new
+    stages). pg['lr'] is never restored afterwards, so the group stays at
+    the ramp's final value for the rest of training, with only milestone
+    gammas landing at/after the window end applied on top."""
     wss = tcfg.warmup_step_stages
+    init = 0.5 * base_lr
+    w0 = tcfg.warmup_ratio_stages * init
+    milestones = tuple(tcfg.mslr_milestones)
 
     def staged(step):
         step = jnp.asarray(step, jnp.float32)
         base = schedule(step)
-        init = base * 0.5
-        w0 = tcfg.warmup_ratio_stages * init
-        t = (step - restore_step) / max(wss, 1)
-        warm = w0 + t * jnp.abs(init - w0)
-        in_warm = jnp.logical_and(step >= restore_step,
-                                  step < restore_step + wss)
-        return jnp.where(in_warm, warm, base)
+        if wss <= 0:
+            return base
+        t = (step - restore_step) / wss
+        warm = w0 + t * abs(init - w0)
+        if tcfg.scheduler == "MultiStepLR":
+            end = w0 + ((wss - 1) / wss) * abs(init - w0)
+            epoch = step // steps_per_epoch
+            decay = jnp.asarray(1.0, jnp.float32)
+            for m in milestones:
+                if m * steps_per_epoch >= restore_step + wss:
+                    decay = decay * jnp.where(epoch >= m, tcfg.mslr_gamma,
+                                              1.0)
+            after = jnp.asarray(end, jnp.float32) * decay
+        else:
+            after = base
+        out = jnp.where(step < restore_step + wss, warm, after)
+        return jnp.where(step < restore_step, base, out)
 
     return staged
 
@@ -142,7 +176,8 @@ def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
                 lambda s: sched(s) * scale),
         )
 
-    staged = (stage_warmup_schedule(schedule, tcfg, restore_step)
+    staged = (stage_warmup_schedule(schedule, tcfg, base_lr, restore_step,
+                                    steps_per_epoch)
               if new_param_labels is not None else schedule)
 
     def label_fn(params):

@@ -206,3 +206,47 @@ def test_cascade_windows_decode_with_target_dims(rng):
     assert int(idx01_out.min()) >= 0
     # and the reverse direction stays inside image0's grid
     assert int(idx10_out.max()) < H0 * W0
+
+
+@pytest.mark.parametrize("levels", [(4,), (4, 2)])
+def test_casmtr_rt_rd_gates_smoke(levels, rng):
+    """Full-model eval forward with the rt/rd test gates enabled (the
+    reference declares POST_CONFIG.RT/RD but crashes if they are set —
+    coarse_matching.py:74 leaves the second-best tensors None; this build
+    completes the plumbing). Gate masks must only REMOVE matches relative to
+    the ungated forward (same params, same inputs)."""
+    cfg = tiny_casmtr_cfg(levels)
+    model = CasMTR(cfg)
+    img0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    img1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out_base = model.apply(params, batch, train=False)
+
+    import dataclasses
+    gated_pc = dataclasses.replace(cfg.coarse2.post_config, rt=0.9, rd=0.8)
+    cfg_g = dataclasses.replace(
+        cfg, coarse2=dataclasses.replace(cfg.coarse2, post_config=gated_pc))
+    if len(levels) > 1:
+        gated_pc3 = dataclasses.replace(cfg.coarse3.post_config, rt=0.9,
+                                        rd=0.8)
+        cfg_g = dataclasses.replace(
+            cfg_g, coarse3=dataclasses.replace(cfg.coarse3,
+                                               post_config=gated_pc3))
+    out_g = CasMTR(cfg_g).apply(params, batch, train=False)
+
+    n_base = int(np.asarray(out_base.final_matches.valid).sum())
+    n_gated = int(np.asarray(out_g.final_matches.valid).sum())
+    assert n_gated <= n_base
+    assert np.isfinite(np.asarray(out_g.final_matches.mkpts1)).all()
+    # gated match set is a subset of the ungated one (as (i, j) pairs) —
+    # but only when the base extraction was NOT capacity-truncated (at the
+    # cap, gating frees slots for positions beyond the base top-M) and
+    # modulo the keep-at-least-one fallback
+    def pairs(m):
+        v = np.asarray(m.valid)
+        return set(zip(np.asarray(m.i_ids)[v].tolist(),
+                       np.asarray(m.j_ids)[v].tolist()))
+    cap = out_base.final_matches.valid.shape[0]
+    if 1 < n_gated and n_base < cap:
+        assert pairs(out_g.final_matches) <= pairs(out_base.final_matches)

@@ -93,3 +93,113 @@ def test_double_check_cycle_consistency():
     # i=2 -> j=3, back[3]=2 == 2 OK; i=3 -> j=3, back[3]=2 != 3 FAIL
     np.testing.assert_array_equal(np.asarray(mask)[0],
                                   [True, True, True, False])
+
+
+def _rand_ws(rng, L0=16, Kw=8, L1=64, track_second=True):
+    """Random windowed-softmax result via the real producer."""
+    f0 = jnp.asarray(rng.standard_normal((1, L0, 8)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, L1, 8)).astype(np.float32))
+    idx01 = jnp.asarray(rng.integers(0, L1, (1, L0, Kw)), dtype=jnp.int32)
+    idx10 = jnp.asarray(rng.integers(0, L0, (1, L1, Kw)), dtype=jnp.int32)
+    ws = cm.window_softmax_matching(f0, f1, idx01, idx10, 0.1,
+                                    track_second=track_second)
+    return ws, idx01
+
+
+def test_window_second_best_tracking(rng):
+    """next_conf_c01_s / next_idx_c01_s are the second-largest window softmax
+    and its GLOBAL index (the tensors the reference declares at
+    cascade_matching.py:130 but never computes)."""
+    ws, idx01 = _rand_ws(rng)
+    conf = np.asarray(ws.conf01)[0]                    # [L0, Kw]
+    idx = np.asarray(idx01)[0]
+    order = np.argsort(-conf, axis=1, kind="stable")
+    np.testing.assert_allclose(np.asarray(ws.next_conf_c01)[0],
+                               np.take_along_axis(conf, order[:, :1], 1)[:, 0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ws.next_conf_c01_s)[0],
+                               np.take_along_axis(conf, order[:, 1:2], 1)[:, 0],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(ws.next_idx_c01_s)[0],
+        np.take_along_axis(idx, order[:, 1:2], 1)[:, 0])
+
+
+def test_dual_softmax_second_best(rng):
+    from casmtr_tpu.ops import matching
+    f0 = jnp.asarray(rng.standard_normal((1, 12, 8)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, 20, 8)).astype(np.float32))
+    ds = matching.dual_softmax(f0, f1, 0.1, track_second=True)
+    sm = np.asarray(jnp.take_along_axis(
+        ds.conf_matrix, ds.next_idx_c01[..., None], axis=2))  # unused sanity
+    # numpy re-derivation of the row softmax
+    sim = (np.asarray(f0)[0] / np.sqrt(8)) @ (np.asarray(f1)[0].T / np.sqrt(8))
+    sim = sim / 0.1
+    e = np.exp(sim - sim.max(1, keepdims=True))
+    sm01 = e / e.sum(1, keepdims=True)
+    order = np.argsort(-sm01, axis=1, kind="stable")
+    np.testing.assert_allclose(np.asarray(ds.next_conf_c01_s)[0],
+                               np.take_along_axis(sm01, order[:, 1:2], 1)[:, 0],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ds.next_idx_c01_s)[0],
+                                  order[:, 1])
+
+
+def test_rt_gate_current_and_pre_level(rng):
+    """rt drops matches whose second/best confidence ratio exceeds it, at the
+    current level and (nearest-upsampled) at every pre level
+    (reference cascade_matching.py:193-215 semantics)."""
+    ws, _ = _rand_ws(rng, L0=16, Kw=8)   # hw0 = (4, 4)
+    rt = 0.5
+    base = cm.cascade_match_mask_test(
+        ws, (4, 4), (8, 8), test_thr=-1.0, bd=0, pre_confs=[], pre_hws=[],
+        pre_thrs=[], post_method=None, post_window=None, double_check=False)
+    gated = cm.cascade_match_mask_test(
+        ws, (4, 4), (8, 8), test_thr=-1.0, bd=0, pre_confs=[], pre_hws=[],
+        pre_thrs=[], post_method=None, post_window=None, double_check=False,
+        rt=rt)
+    ratio = (np.asarray(ws.next_conf_c01_s)
+             / (np.asarray(ws.next_conf_c01) + 1e-7))
+    expect = np.asarray(base) & ~(ratio > rt)
+    if not expect.any():
+        expect[:, 0] = True              # keep-at-least-one tail
+    np.testing.assert_array_equal(np.asarray(gated), expect)
+
+    # pre-level rt: a 2x2 pre grid with one ambiguous cell masks out its
+    # upsampled 2x2 block
+    pre_conf = jnp.asarray([[0.9, 0.9, 0.9, 0.9]])
+    pre_conf_s = jnp.asarray([[0.1, 0.8, 0.1, 0.1]])   # cell 1 ratio ~0.89
+    gated2 = cm.cascade_match_mask_test(
+        ws, (4, 4), (8, 8), test_thr=-1.0, bd=0,
+        pre_confs=[pre_conf], pre_hws=[(2, 2)], pre_thrs=[0.0],
+        post_method=None, post_window=None, double_check=False,
+        rt=rt, pre_confs_s=[pre_conf_s])
+    g2 = np.asarray(gated2).reshape(4, 4)
+    e2 = (np.asarray(base) & ~(ratio > rt)).reshape(4, 4).copy()
+    e2[:2, 2:] = False                   # pre cell (0, 1) upsampled block
+    if not e2.any():
+        e2.flat[0] = True
+    np.testing.assert_array_equal(g2, e2)
+
+
+def test_rd_gate_coarse_distance(rng):
+    """rd drops matches whose coarse best/second-best targets are far apart
+    in grid-normalized coordinates (reference cascade_matching.py:216-231)."""
+    ws, _ = _rand_ws(rng, L0=16, Kw=8, track_second=False)
+    # coarse 2x2 grid: cell 0's second-best is the far corner (distance
+    # sqrt(0.5^2+0.5^2) ~ 0.707), others match their best (distance 0)
+    idx8 = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    idx8_s = jnp.asarray([[3, 1, 2, 3]], jnp.int32)
+    base = cm.cascade_match_mask_test(
+        ws, (4, 4), (8, 8), test_thr=-1.0, bd=0, pre_confs=[], pre_hws=[],
+        pre_thrs=[], post_method=None, post_window=None, double_check=False)
+    gated = cm.cascade_match_mask_test(
+        ws, (4, 4), (8, 8), test_thr=-1.0, bd=0, pre_confs=[], pre_hws=[],
+        pre_thrs=[], post_method=None, post_window=None, double_check=False,
+        rd=0.5, rd_coarse=(idx8, idx8_s, (2, 2)))
+    g = np.asarray(gated).reshape(4, 4)
+    e = np.asarray(base).reshape(4, 4).copy()
+    e[:2, :2] = False                    # coarse cell 0's upsampled block
+    if not e.any():
+        e.flat[0] = True
+    np.testing.assert_array_equal(g, e)

@@ -101,15 +101,18 @@ def _const_lr_tcfg(**kw):
 
 
 def test_stage_warmup_schedule():
-    """New-stage warmup ramps from ratio*base/2 to base/2 over
-    warmup_step_stages, then rejoins the base schedule
-    (reference lightning_cascade.py:175-181)."""
+    """New-stage warmup ramps from ratio*base/2 toward base/2 over
+    warmup_step_stages, then HOLDS the ramp's final value — the reference
+    never restores pg['lr'] after the window (lightning_cascade.py:175-181
+    only assigns while inside it), so new-stage groups keep ~base/2 for the
+    rest of training."""
     from casmtr_tpu.train.optim import (build_lr_schedule,
                                         stage_warmup_schedule)
 
     tcfg = _const_lr_tcfg(warmup_step_stages=10, warmup_ratio_stages=0.1)
     base = build_lr_schedule(tcfg, 1e-3, steps_per_epoch=100)
-    staged = stage_warmup_schedule(base, tcfg, restore_step=100)
+    staged = stage_warmup_schedule(base, tcfg, 1e-3, restore_step=100,
+                                   steps_per_epoch=100)
     # before the restore point: base schedule
     np.testing.assert_allclose(float(staged(50)), 1e-3, rtol=1e-6)
     # at the restore point: ratio * base/2
@@ -118,8 +121,11 @@ def test_stage_warmup_schedule():
     np.testing.assert_allclose(float(staged(105)),
                                0.1 * 5e-4 + 0.5 * (5e-4 - 0.1 * 5e-4),
                                rtol=1e-5)
-    # after the ramp: full base LR again
-    np.testing.assert_allclose(float(staged(110)), 1e-3, rtol=1e-6)
+    # after the ramp: the ramp's FINAL value (last assignment at t=9/10),
+    # exactly as the never-reset torch pg['lr'] behaves
+    end = 0.1 * 5e-4 + 0.9 * (5e-4 - 0.1 * 5e-4)
+    np.testing.assert_allclose(float(staged(110)), end, rtol=1e-6)
+    np.testing.assert_allclose(float(staged(10000)), end, rtol=1e-6)
 
 
 def test_new_stage_optimizer_groups():
@@ -164,10 +170,12 @@ def test_set_schedule_step_continues_schedule():
     fresh = tx.init(params)
     up_fresh, _ = tx.update(grads, fresh, params)      # count 0 -> warmup lr
     ff = set_schedule_step(tx.init(params), 500)
-    up_ff, _ = tx.update(grads, ff, params)            # count 500 -> full lr
+    up_ff, _ = tx.update(grads, ff, params)            # count 500 -> post-warmup
     assert float(jnp.abs(up_fresh["m"]["w"][0])) < 1e-6
-    np.testing.assert_allclose(float(jnp.abs(up_ff["m"]["w"][0])), 1e-3,
-                               rtol=1e-4)
+    # post-warmup level is the LAST warmup value ((warm-1)/warm * base):
+    # the reference never restores pg['lr'] (lightning_cascade.py:166-170)
+    np.testing.assert_allclose(float(jnp.abs(up_ff["m"]["w"][0])),
+                               0.99e-3, rtol=1e-4)
 
 
 def test_reset_lr_flag_switches_schedule_config(tmp_path):

@@ -224,3 +224,43 @@ def test_cascade_qtatt_structured_flag_is_inert(rng):
                              window_structured=True)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_window_cross_attention_split_plane_parity(rng):
+    """HD = 128 exercises the SPLIT-plane regime (separate 128-lane K and V
+    DMAs — the flagship coarse2 geometry H=4, D=32); HD = 96 exercises the
+    split regime WITH lane padding (HD in (64, 128])."""
+    import jax
+    import jax.numpy as jnp
+    from casmtr_tpu.ops.pallas.window_kernels import (
+        _wca_n_planes, window_cross_attention, window_cross_attention_oracle)
+    for H, D in ((4, 32), (2, 64), (4, 16)):
+        q, k, v, corners, hw_q, hw_k, w = _wca_case(rng, H=H, D=D, grid=8,
+                                                    w=2)
+        n_pl = _wca_n_planes(H, D)
+        assert n_pl == (2 if H * D > 64 else 1)
+        got = window_cross_attention(q, k, v, corners, hw_q, hw_k, w, True)
+        want = window_cross_attention_oracle(q, k, v, corners, hw_q, hw_k, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"H={H} D={D}")
+
+        cot = jnp.asarray(rng.standard_normal(
+            (1, q.shape[1] // 4, 4, H, D)).astype(np.float32))
+
+        def loss_k(q_, k_, v_):
+            m = window_cross_attention(q_, k_, v_, corners, hw_q, hw_k, w,
+                                       True)
+            return jnp.sum(m * cot)
+
+        def loss_o(q_, k_, v_):
+            m = window_cross_attention_oracle(q_, k_, v_, corners, hw_q,
+                                              hw_k, w)
+            return jnp.sum(m * cot)
+
+        g_got = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+        g_want = jax.grad(loss_o, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_got, g_want, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=5e-5,
+                                       err_msg=f"d{name} H={H} D={D}")
