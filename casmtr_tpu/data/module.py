@@ -23,11 +23,15 @@ def _read_list(path: str) -> List[str]:
 
 
 class MultiSceneDataModule:
-    def __init__(self, config: Config, world_size: int = 1, rank: int = 0):
+    def __init__(self, config: Config, world_size: int = 1, rank: int = 0,
+                 build_workers: Optional[int] = None):
         self.config = config
         self.world_size = world_size
         self.rank = rank
         self.seed = config.trainer.seed
+        # reference data.py:255: 0.9 * cores / local processes
+        self.build_workers = build_workers if build_workers is not None else (
+            max(1, int(len(os.sched_getaffinity(0)) * 0.9)))
 
     def _build_split(self, data_source, root, npz_root, list_path,
                      intrinsic_path, mode, min_overlap):
@@ -37,30 +41,40 @@ class MultiSceneDataModule:
             # scene sharding, not replication (reference data.py:179)
             names = get_local_split(names, self.world_size, self.rank,
                                     self.seed)
-        datasets = []
-        missing = []
-        for name in names:
+        def build_one(name):
             npz_path = osp.join(npz_root, name)
             if not npz_path.endswith(".npz"):
                 npz_path += ".npz"
             if not osp.exists(npz_path):
-                missing.append(npz_path)
-                continue
+                return ("missing", npz_path)
             if data_source == "MegaDepth":
-                datasets.append(MegaDepthDataset(
+                return ("ok", MegaDepthDataset(
                     root, npz_path, mode=mode,
                     min_overlap_score=min_overlap,
                     img_resize=d.mgdpt_img_resize, df=d.mgdpt_df,
                     img_padding=d.mgdpt_img_pad,
                     depth_padding=d.mgdpt_depth_pad,
                     is_rgb=self.config.loftr.is_rgb))
-            elif data_source == "ScanNet":
-                datasets.append(ScanNetDataset(
+            if data_source == "ScanNet":
+                return ("ok", ScanNetDataset(
                     root, npz_path, intrinsic_path, mode=mode,
                     min_overlap_score=min_overlap,
                     is_rgb=self.config.loftr.is_rgb))
-            else:
-                raise ValueError(data_source)
+            raise ValueError(data_source)
+
+        # parallel per-scene construction (reference data.py:238-285 uses
+        # joblib processes for ScanNet and has the MegaDepth branch broken
+        # by a pickling TODO; the per-scene work here is npz IO + numpy
+        # filtering, so threads cover both without the pickling hazard)
+        workers = min(self.build_workers, max(len(names), 1))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(workers) as ex:
+                results = list(ex.map(build_one, names))
+        else:
+            results = [build_one(n) for n in names]
+        missing = [p for tag, p in results if tag == "missing"]
+        datasets = [ds for tag, ds in results if tag == "ok"]
         if missing:
             import warnings
             warnings.warn(

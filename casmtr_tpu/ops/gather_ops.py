@@ -58,9 +58,10 @@ def use_pallas_window_cross() -> bool:
     used (structured window candidates; see window_kernels.py)."""
     if get_backend() != "pallas":
         return False
-    # Default OFF until on-device parity has been run (scripts/
-    # tpu_kernel_parity.py "wca" section); interpret-mode parity is green.
-    if os.environ.get("CASMTR_PALLAS_WINDOW_CROSS", "0") != "1":
+    # Default ON: on-device parity 2026-08-19 (scripts/tpu_kernel_parity.py
+    # wca section: msg err 4.8e-7, grads <= 2.9e-6; kernel 2.66/7.09 ms vs
+    # gather 14.35/16.54 ms fwd / fwd+bwd at the 176^2 level).
+    if os.environ.get("CASMTR_PALLAS_WINDOW_CROSS", "1") != "1":
         return False
     try:
         from casmtr_tpu.ops.pallas import HAVE_WINDOW_KERNEL

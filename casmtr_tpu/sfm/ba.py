@@ -11,6 +11,17 @@ operation is the degenerate case (no psum).
 
 All shapes are static: observations are fixed-size arrays with a validity
 mask; invalid observations contribute zeros.
+
+Size limit of the dense formulation: `_schur_system` materializes the
+camera-point cross block B as [P, C, 6, 3] f32 (72*P*C bytes) and the
+reduced camera system S as [6C, 6C]; the Schur einsum costs O(P * C^2)
+FLOPs per LM iteration. Practical single-device envelope: P*C up to ~2e7
+(e.g. 100k points x 200 cams = 1.4 GB for B). Beyond that, partition the
+LANDMARKS across mesh devices with per-shard COMPACT renumbering (each
+shard's local problem only carries its own P/n points, shrinking B and the
+point-block work n-fold; only the [6C, 6C] camera system crosses shards via
+psum) — the recipe is demonstrated and verified shard==single in
+scripts/sfm_scale_bench.py / tests/test_sfm.py.
 """
 
 from __future__ import annotations

@@ -354,10 +354,26 @@ def refine_with_pose_graph(Rs: np.ndarray, ts: np.ndarray,
     g = PoseGraph(jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
                   jnp.asarray(np.stack(Rr)), jnp.asarray(np.stack(tr)),
                   jnp.asarray(wn / wn.max()))
-    R2, t2 = optimize_pose_graph(jnp.asarray(Rs, jnp.float32),
-                                 jnp.asarray(ts, jnp.float32), g,
-                                 rot_iters=rot_iters,
-                                 trans_rounds=trans_rounds)
+    from casmtr_tpu.sfm.pose_graph import average_rotations, \
+        average_translations
+    R2 = average_rotations(jnp.asarray(Rs, jnp.float32), g, iters=rot_iters)
+    # translation-averaging degeneracy gate: bearing-only edges constrain
+    # camera positions only when the WORLD-frame edge directions are
+    # diverse. For (near-)collinear motion — the dominant video case — the
+    # perpendicular spacing information lives entirely in the chain's
+    # depth-propagated scales, and averaging would trade it for direction
+    # noise (measured: ATE 0.05 -> 0.43 on an 80-frame linear sweep).
+    # World direction of edge (i, j) is -R_j^T t_rel (= c_j - c_i up to
+    # scale); skip when the direction cloud's 2nd singular value says the
+    # directions span < ~10% anisotropy.
+    dirs = np.stack([np.asarray(R2)[j].T @ d
+                     for j, d in zip(ej, np.asarray(g.t_rel))])
+    # uncentered on purpose: +d and -d are the same bearing constraint
+    sv = np.linalg.svd(dirs, compute_uv=False)
+    if sv[1] < 0.1 * sv[0]:
+        return np.asarray(R2, np.float64), np.asarray(ts, np.float64)
+    t2, _ = average_translations(R2, jnp.asarray(ts, jnp.float32), g,
+                                 rounds=trans_rounds)
     return np.asarray(R2, np.float64), np.asarray(t2, np.float64)
 
 
