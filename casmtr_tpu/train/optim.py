@@ -169,7 +169,6 @@ def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
 
     def make(scale, sched):
         return optax.chain(
-            optax.clip_by_global_norm(tcfg.gradient_clipping),
             optax.scale_by_adam(),
             optax.add_decayed_weights(wd),
             optax.scale_by_learning_rate(
@@ -199,9 +198,23 @@ def build_optimizer(tcfg: TrainerConfig, base_lr: float, steps_per_epoch: int,
 
         return jax.tree_util.tree_map_with_path(leaf_label, params)
 
-    return optax.multi_transform(
+    grouped = optax.multi_transform(
         {"main": make(1.0, schedule), "vit": make(tcfg.vit_lr_scale, schedule),
          "new": make(1.0, staged), "frozen": optax.set_to_zero()}, label_fn)
+    if not tcfg.gradient_clipping or tcfg.gradient_clipping <= 0:
+        return grouped
+    # PL clips by ONE global norm across every trainable gradient before the
+    # optimizer step (reference train.py:141 gradient_clip_val=0.5), NOT per
+    # param group — so the clip must sit OUTSIDE multi_transform. Frozen
+    # leaves carry no reference gradient (requires_grad=False params never
+    # reach clip_grad_norm_), so they are masked out of the norm.
+    clip = optax.clip_by_global_norm(tcfg.gradient_clipping)
+    if frozen_label_fn is not None:
+        clip = optax.masked(
+            clip,
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: not frozen_label_fn(path), params))
+    return optax.chain(clip, grouped)
 
 
 def set_schedule_step(opt_state, step: int):

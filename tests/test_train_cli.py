@@ -306,6 +306,50 @@ def test_new_stage_labels_name_semantics():
     assert labels["loftr_fine"]["w"] == "new"
 
 
+def test_gradient_clip_is_global_across_groups():
+    """PL clips by ONE global norm over every trainable grad before the
+    optimizer step (reference train.py:141 gradient_clip_val) — NOT per
+    param group. With grads of very different norms in the 'vit' and 'main'
+    groups, per-group clipping would rescale them by different factors; this
+    pins one AdamW step bit-for-bit against torch's clip_grad_norm_ + AdamW
+    (the bug this catches: clip_by_global_norm nested inside
+    multi_transform)."""
+    torch = pytest.importorskip("torch")
+    from casmtr_tpu.train.optim import build_optimizer
+
+    lr, wd, clip, vit_scale = 1e-2, 0.1, 0.5, 0.5
+    w_vit = np.array([0.3, -0.2, 0.5], np.float32)
+    w_main = np.array([1.0, -0.7], np.float32)
+    g_vit = np.array([4.0, -3.0, 2.0], np.float32)   # norm ~5.4
+    g_main = np.array([0.02, 0.01], np.float32)      # norm ~0.02
+
+    # torch: global clip then per-group-lr AdamW (reference optimizer build)
+    p_vit = torch.nn.Parameter(torch.from_numpy(w_vit.copy()))
+    p_main = torch.nn.Parameter(torch.from_numpy(w_main.copy()))
+    opt = torch.optim.AdamW(
+        [{"params": [p_vit], "lr": lr * vit_scale},
+         {"params": [p_main], "lr": lr}], lr=lr, weight_decay=wd)
+    p_vit.grad = torch.from_numpy(g_vit.copy())
+    p_main.grad = torch.from_numpy(g_main.copy())
+    torch.nn.utils.clip_grad_norm_([p_vit, p_main], clip)
+    opt.step()
+
+    tcfg = _const_lr_tcfg(adamw_decay=wd, gradient_clipping=clip,
+                          vit_lr_scale=vit_scale)
+    params = {"backbone": {"vit": {"w": jnp.asarray(w_vit)}},
+              "head": {"w": jnp.asarray(w_main)}}
+    grads = {"backbone": {"vit": {"w": jnp.asarray(g_vit)}},
+             "head": {"w": jnp.asarray(g_main)}}
+    tx = build_optimizer(tcfg, lr, steps_per_epoch=100)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    import optax
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["backbone"]["vit"]["w"]),
+                               p_vit.detach().numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new["head"]["w"]),
+                               p_main.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
 def test_checkpoint_manager_keeps_latest(tmp_path):
     """A newest checkpoint with a WORSE metric than the top-k must survive
     (PL save_last semantics); orbax best-N alone would delete it."""
