@@ -89,7 +89,15 @@ def fine_loss(expec_f, expec_f_gt, valid, loss_cfg) -> jnp.ndarray:
     # the mean), then detached (reference :170-173)
     std = expec_f[:, 2]
     inv = 1.0 / jnp.clip(std, 1e-10)
-    w = jax.lax.stop_gradient(inv / _masked_mean(inv, valid))
+    # zero valid rows (a no-gt batch — happens on low-overlap pairs): the
+    # normalizer is 0 and w would be inf; the masked-out backward then hits
+    # inf*0 = NaN and poisons EVERY upstream gradient (the NaN guard would
+    # silently skip the whole step). The reference fabricates one correct
+    # row with weight 0 (cascade_loss.py:176-187) — loss 0, finite grads;
+    # a unit normalizer reproduces that exactly (correct is empty, so the
+    # loss is 0 regardless of w's finite value).
+    denom = _masked_mean(inv, valid)
+    w = jax.lax.stop_gradient(inv / jnp.where(denom > 0, denom, 1.0))
     return _masked_mean(l2 * w, correct)
 
 
