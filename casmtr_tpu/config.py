@@ -46,6 +46,8 @@ class PostConfig:
     topk: Optional[int] = None
     rt: Optional[float] = None            # ratio test gate
     rd: Optional[float] = None            # distance gate
+    temperature: float = 1.0              # softargmax_nms (reference :99)
+    stride: int = 1                       # softargmax_nms: 1 or window_size
 
 
 @dataclass(frozen=True)

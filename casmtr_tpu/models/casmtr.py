@@ -229,6 +229,8 @@ class CasMTR(nn.Module):
                     pre_confs=[ds.next_conf_c01], pre_hws=[tuple(hw0_8c)],
                     pre_thrs=list(c4["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
+                    post_temperature=pc.temperature,
+                    post_stride=pc.stride,
                     double_check=c4["double_check"], mask0_2d=m4_0,
                     mask1_2d=m4_1, s_d2d=s_d2d, d2d_w=d2d_w,
                     rt=pc.rt, rd=pc.rd,
@@ -315,6 +317,8 @@ class CasMTR(nn.Module):
                     pre_hws=[tuple(hw0_8c), tuple(hw0_4c)],
                     pre_thrs=list(c2["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
+                    post_temperature=pc.temperature,
+                    post_stride=pc.stride,
                     double_check=c2["double_check"], mask0_2d=m2_0,
                     mask1_2d=m2_1, s_d2d=s_d2d2, d2d_w=d2d_w2,
                     rt=pc.rt, rd=pc.rd,

@@ -162,6 +162,8 @@ class CasMTRRefine(nn.Module):
                     pre_confs=[ds.next_conf_c01], pre_hws=[tuple(hw0_8c)],
                     pre_thrs=list(c4["pre_thr"]), post_method=pc.method,
                     post_window=pc.window_size, post_topk=pc.topk,
+                    post_temperature=pc.temperature,
+                    post_stride=pc.stride,
                     double_check=c4["double_check"], mask0_2d=m4_0,
                     mask1_2d=m4_1, s_d2d=s_d2d, d2d_w=d2d_w)
             m_cap4 = (min(c4["train_pad_num_gt_min"], c4["max_matches"])

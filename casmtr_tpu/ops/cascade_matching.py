@@ -189,6 +189,7 @@ def cascade_match_mask_test(
         post_window: Optional[int], post_topk: Optional[int] = None,
         double_check: bool = True, mask0_2d=None, mask1_2d=None,
         s_d2d=None, d2d_w=None,
+        post_temperature: float = 1.0, post_stride: int = 1,
         rt: Optional[float] = None, rd: Optional[float] = None,
         pre_confs_s: Optional[Sequence[jnp.ndarray]] = None,
         rd_coarse: Optional[Tuple[jnp.ndarray, jnp.ndarray,
@@ -209,7 +210,9 @@ def cascade_match_mask_test(
     """
     mask = nms.post_process_mask(post_method, ws.next_conf_c01, hw0, test_thr,
                                  window=post_window, topk=post_topk,
-                                 s_d2d=s_d2d, d2d_w=d2d_w)
+                                 s_d2d=s_d2d, d2d_w=d2d_w,
+                                 temperature=post_temperature,
+                                 stride=post_stride)
     if rt is not None:
         ts = ws.next_conf_c01_s / (ws.next_conf_c01 + 1e-7)
         mask &= ~(ts > rt)

@@ -60,6 +60,63 @@ def local_window_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
     return oneh
 
 
+def softargmax_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
+                        temperature: float = 1.0, stride: int = 1
+                        ) -> jnp.ndarray:
+    """Sliding-window soft-argmax keypoint selection (reference
+    post_processing.py:93-110, kornia ConvSoftArgmax2d semantics): every
+    window votes for its softmax-expected position (zero-padded borders
+    participate in the softmax, as kornia's conv padding does); a position
+    is kept iff at least one window's rounded expectation lands on it.
+
+    NOTE on the reference: it indexes kornia's (x, y)-ordered coords as
+    ``coords[:, 0] * w0c + coords[:, 1]`` — an x/y transposition that only
+    coincides with any geometric meaning on square grids. We implement the
+    geometric intent (flat index = y * w + x), clamped in-bounds; no
+    released recipe uses this method (kornia-dependent, configs set
+    maxpool_nms), so there is no behavior to bit-match and kornia is not
+    installable here to compare against.
+    """
+    B = conf.shape[0]
+    h, w = hw
+    assert stride in (1, window), (stride, window)  # reference :97 asserts
+    c2 = conf.reshape(B, h, w)
+    pad = window // 2 if stride == 1 else 0
+    if stride == 1:
+        cp = jnp.pad(c2, ((0, 0), (pad, pad), (pad, pad)))
+        slices_v, slices_y, slices_x = [], [], []
+        yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        for dy in range(window):
+            for dx in range(window):
+                slices_v.append(cp[:, dy:dy + h, dx:dx + w])
+                slices_y.append(yy + (dy - pad))
+                slices_x.append(xx + (dx - pad))
+        v = jnp.stack(slices_v, axis=-1)                 # [B, h, w, k*k]
+        sy = jnp.stack(slices_y, axis=-1)                # [1, h, 1, k*k]
+        sx = jnp.stack(slices_x, axis=-1)                # [1, 1, w, k*k]
+        p = jax.nn.softmax(v / temperature, axis=-1)
+        ey = jnp.sum(p * sy, axis=-1)                    # [B, h, w]
+        ex = jnp.sum(p * sx, axis=-1)
+    else:  # non-overlapping tiles
+        c4 = c2.reshape(B, h // window, window, w // window, window)
+        c4 = jnp.moveaxis(c4, 2, 3)                      # [B, hT, wT, k, k]
+        p = jax.nn.softmax(
+            (c4 / temperature).reshape(*c4.shape[:3], -1), axis=-1
+        ).reshape(c4.shape)
+        off = jnp.arange(window, dtype=jnp.float32)
+        oy = (jnp.arange(h // window, dtype=jnp.float32) * window)
+        ox = (jnp.arange(w // window, dtype=jnp.float32) * window)
+        ey = jnp.einsum("bhwyx,y->bhw", p, off) + oy[None, :, None]
+        ex = jnp.einsum("bhwyx,x->bhw", p, off) + ox[None, None, :]
+    ty = jnp.clip(jnp.round(ey), 0, h - 1).astype(jnp.int32)
+    tx = jnp.clip(jnp.round(ex), 0, w - 1).astype(jnp.int32)
+    flat = (ty * w + tx).reshape(B, -1)                  # [B, n_windows]
+    mask = jnp.zeros((B, h * w), bool)
+    b_ix = jnp.broadcast_to(jnp.arange(B)[:, None], flat.shape)
+    return mask.at[b_ix, flat].set(True)
+
+
 def d2d_saliency(feat0: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """Feature-statistics saliency S_as * S_rs computed at 1/4 of the level
     grid (reference cascade_matching.py:90-104). feat0: [B, L, C] normalized
@@ -104,7 +161,9 @@ def post_process_mask(method: Optional[str], conf: jnp.ndarray,
                       window: Optional[int] = None,
                       topk: Optional[int] = None,
                       s_d2d: Optional[jnp.ndarray] = None,
-                      d2d_w: Optional[int] = None) -> jnp.ndarray:
+                      d2d_w: Optional[int] = None,
+                      temperature: float = 1.0,
+                      stride: int = 1) -> jnp.ndarray:
     """Dispatch (reference post_processing.py:41-145). conf: [B, L]."""
     if method is None:
         return conf > test_thr
@@ -112,10 +171,12 @@ def post_process_mask(method: Optional[str], conf: jnp.ndarray,
         m = maxpool_nms_mask(conf, hw, window)
     elif method == "local_window_nms":
         m = local_window_nms_mask(conf, hw, window, topk)
+    elif method == "softargmax_nms":
+        m = softargmax_nms_mask(conf, hw, window, temperature, stride)
     elif method == "d2d":
         m = d2d_mask(conf, hw, window, s_d2d, d2d_w)
     else:
         raise NotImplementedError(
-            f"post-process '{method}' not supported (sift/softargmax_nms "
-            "require kornia and are unused by released recipes)")
+            f"post-process '{method}' not supported ('sift' requires a "
+            "kornia ScaleSpaceDetector and is unused by released recipes)")
     return m & (conf > test_thr)

@@ -203,3 +203,64 @@ def test_rd_gate_coarse_distance(rng):
     if not e.any():
         e.flat[0] = True
     np.testing.assert_array_equal(g, e)
+
+
+def test_softargmax_nms_numpy_oracle(rng):
+    """softargmax_nms_mask vs an independent per-window numpy re-derivation
+    (reference post_processing.py:93-110 / kornia ConvSoftArgmax2d: every
+    stride-1 window votes for its softmax-expected position over the
+    zero-padded window; kept positions are the voted-for cells)."""
+    h, w, win, T = 8, 10, 3, 0.7
+    conf = rng.random((2, h * w)).astype(np.float32)
+    got = np.asarray(nms.softargmax_nms_mask(
+        jnp.asarray(conf), (h, w), win, temperature=T))
+
+    pad = win // 2
+    want = np.zeros((2, h, w), bool)
+    for b in range(2):
+        c2 = conf[b].reshape(h, w)
+        cp = np.zeros((h + 2 * pad, w + 2 * pad), np.float32)
+        cp[pad:pad + h, pad:pad + w] = c2
+        for y in range(h):
+            for x in range(w):
+                vals = cp[y:y + win, x:x + win].reshape(-1) / T
+                p = np.exp(vals - vals.max())
+                p = p / p.sum()
+                oy, ox = np.mgrid[0:win, 0:win]
+                ey = (p * (y + oy.reshape(-1) - pad)).sum()
+                ex = (p * (x + ox.reshape(-1) - pad)).sum()
+                ty = int(np.clip(np.round(ey), 0, h - 1))
+                tx = int(np.clip(np.round(ex), 0, w - 1))
+                want[b, ty, tx] = True
+    np.testing.assert_array_equal(got, want.reshape(2, -1))
+
+
+def test_softargmax_nms_tiled_stride(rng):
+    """stride == window_size: one vote per non-overlapping tile, in global
+    coordinates."""
+    h, w, win = 6, 6, 3
+    conf = rng.random((1, h * w)).astype(np.float32)
+    got = np.asarray(nms.softargmax_nms_mask(
+        jnp.asarray(conf), (h, w), win, temperature=1.0, stride=win))
+    assert got.sum() <= (h // win) * (w // win)
+    c2 = conf[0].reshape(h, w)
+    want = np.zeros((h, w), bool)
+    for ty0 in range(0, h, win):
+        for tx0 in range(0, w, win):
+            tile = c2[ty0:ty0 + win, tx0:tx0 + win].reshape(-1)
+            p = np.exp(tile - tile.max()); p /= p.sum()
+            oy, ox = np.mgrid[0:win, 0:win]
+            ey = (p * (ty0 + oy.reshape(-1))).sum()
+            ex = (p * (tx0 + ox.reshape(-1))).sum()
+            want[int(round(ey)), int(round(ex))] = True
+    np.testing.assert_array_equal(got[0], want.reshape(-1))
+
+
+def test_softargmax_nms_dispatch_and_thr(rng):
+    """post_process_mask dispatch: softargmax votes AND the conf threshold."""
+    h = w = 6
+    conf = rng.random((1, h * w)).astype(np.float32)
+    m = np.asarray(nms.post_process_mask(
+        "softargmax_nms", jnp.asarray(conf), (h, w), test_thr=0.5,
+        window=3, temperature=1.0))
+    assert not np.any(m & (conf <= 0.5))
