@@ -104,7 +104,8 @@ def gather_keys(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [B, P, C, H, D] with out[b,p,c,h] = table[b, idx[b,p,c,h], h].
     """
-    return jnp.take_along_axis(table[:, None], idx[..., None], axis=2)
+    return jnp.take_along_axis(table[:, None], idx[..., None], axis=2,
+                               mode="clip")
 
 
 def _gather_scores_jnp(query, key, idx):
@@ -147,7 +148,8 @@ def _window_score_jnp(feat0, feat1, idx):
     Returns:
       scores [B, L0, K] with s[b,l,k] = <feat0[b,l], feat1[b, idx[b,l,k]]>.
     """
-    f1_g = jnp.take_along_axis(feat1[:, None], idx[..., None], axis=2)  # [B,L0,K,D]
+    f1_g = jnp.take_along_axis(feat1[:, None], idx[..., None], axis=2,
+                               mode="clip")  # [B,L0,K,D]
     return jnp.einsum("bld,blkd->blk", feat0, f1_g,
                       preferred_element_type=jnp.float32)
 

@@ -158,7 +158,8 @@ def _bwd(w, interpret, res, g):
     H1, W1 = feat1.shape[1:3]
     idx = _expand_corner_indices(corners, w, W1)              # [B, P, K]
     f1_flat = feat1.reshape(B, H1 * W1, D)
-    f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2)
+    f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2,
+                               mode="clip")
     # g: [B, P, 4, K]; f1_g: [B, P, K, D]
     dq = jnp.einsum("bpfk,bpkd->bpfd", g, f1_g)
     # d feat1: scatter sum over queries
@@ -177,7 +178,8 @@ def window_patch_score_jnp(q_blk, feat1, corners, w: int):
     H1, W1 = feat1.shape[1:3]
     idx = _expand_corner_indices(corners, w, W1)
     f1_flat = feat1.reshape(B, H1 * W1, D)
-    f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2)
+    f1_g = jnp.take_along_axis(f1_flat[:, None], idx[..., None], axis=2,
+                               mode="clip")
     return jnp.einsum("bpfd,bpkd->bpfk", q_blk.astype(jnp.float32),
                       f1_g.astype(jnp.float32))
 
@@ -689,8 +691,10 @@ def window_cross_attention_oracle(q, k, v, corners, hw_q, hw_k, w: int):
     B, Lq, H, D = q.shape
     idx = _expand_corner_indices(corners, w, w1)      # [B, P, 4w^2]
     qb = block_children(q, h0, w0)                    # [B, P, 4, H, D]
-    k_g = jnp.take_along_axis(k[:, None], idx[..., None, None], axis=2)
-    v_g = jnp.take_along_axis(v[:, None], idx[..., None, None], axis=2)
+    k_g = jnp.take_along_axis(k[:, None], idx[..., None, None], axis=2,
+                              mode="clip")
+    v_g = jnp.take_along_axis(v[:, None], idx[..., None, None], axis=2,
+                              mode="clip")
     qk = jnp.einsum("bpfhd,bpchd->bpfhc", qb, k_g,
                     preferred_element_type=jnp.float32) * (D ** -0.5)
     a = jax.nn.softmax(qk, axis=-1)

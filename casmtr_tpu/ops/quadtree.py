@@ -148,7 +148,8 @@ def block_gather(table: jnp.ndarray, parent_idx: jnp.ndarray,
     arr = table[:, None, None]                           # [B, 1, 1, Lb, H, FD]
     idx = parent_idx[..., None, None]                    # [B, P, K, H, 1, 1]
     idx = jnp.swapaxes(idx, 3, 4)                        # [B, P, K, 1, H, 1]
-    out = jnp.take_along_axis(arr, idx, axis=3)          # [B, P, K, 1, H, FD]
+    out = jnp.take_along_axis(arr, idx, axis=3,
+                              mode="clip")          # [B, P, K, 1, H, FD]
     return out[:, :, :, 0].reshape(*out.shape[:3], H, n_children, D)
 
 
@@ -240,7 +241,7 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
         rp = jnp.broadcast_to(rel_pos, (q.shape[0],) + rel_pos.shape[1:])
         rp = jnp.moveaxis(rp, 1, -1)                      # [B, Lq, Lk, H]
         rp = block_children(rp, h0, w0)                   # [B, P, 4, Lk, H]
-        rp = jnp.take_along_axis(rp, idx[:, :, None], axis=3)
+        rp = jnp.take_along_axis(rp, idx[:, :, None], axis=3, mode="clip")
         qk = qk + jnp.moveaxis(rp, 3, 4)                  # -> [B, P, 4, H, 4K]
 
     A = jax.nn.softmax(qk, axis=-1)                       # over 4K candidates
@@ -520,7 +521,7 @@ def cascade_qtatt_b(q, k, v, topk_pos: jnp.ndarray, hw_q: Tuple[int, int],
     # while-loop (~142 ms at 176^2, v5e) and regresses the step 0.51 -> 0.57
     # s. The structured layout is exploited in the Pallas window kernels
     # instead (ops/pallas/window_kernels.py).
-    kv_g = jnp.take_along_axis(kv_flat[:, None], idx_sh[..., None],
+    kv_g = jnp.take_along_axis(kv_flat[:, None], idx_sh[..., None], mode="clip",
                                axis=2)
     kv_g = kv_g.reshape(B, Lq // 4, 4 * Kw, 2, H, D)
     k_g = kv_g[:, :, :, 0]
