@@ -29,6 +29,9 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=832)
+    p.add_argument("--height", type=int, default=None,
+                   help="non-square height (e.g. 480 for the ScanNet "
+                        "640x480 indoor protocol); --size is the width")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--backbone", choices=["twins", "resnet"],
                    default="twins")
@@ -40,14 +43,15 @@ def main():
     from __graft_entry__ import _flagship_cfg
     from casmtr_tpu.models.casmtr import CasMTR
 
-    size = args.size
+    w = args.size
+    h = args.height or args.size
     cfg = _flagship_cfg(train_size=704, backbone=args.backbone)
     model = CasMTR(cfg.loftr)
     rng = np.random.default_rng(0)
     B = args.batch
     batch = {
-        "image0": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
-        "image1": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
+        "image0": jnp.asarray(rng.random((B, h, w, 3)), jnp.float32),
+        "image1": jnp.asarray(rng.random((B, h, w, 3)), jnp.float32),
     }
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
@@ -68,7 +72,8 @@ def main():
     r = float(run(variables, batch["image0"], batch["image1"]))
     dt = (time.perf_counter() - t0) / args.iters
 
-    metric = f"casmtr4c_{args.backbone}_eval_pairs_per_s_{size}"
+    geo = f"{w}" if h == w else f"{w}x{h}"
+    metric = f"casmtr4c_{args.backbone}_eval_pairs_per_s_{geo}"
     if B > 1:
         metric += f"_b{B}"
     print(json.dumps({
