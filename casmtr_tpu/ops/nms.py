@@ -98,8 +98,11 @@ def softargmax_nms_mask(conf: jnp.ndarray, hw: Tuple[int, int], window: int,
         p = jax.nn.softmax(v / temperature, axis=-1)
         ey = jnp.sum(p * sy, axis=-1)                    # [B, h, w]
         ex = jnp.sum(p * sx, axis=-1)
-    else:  # non-overlapping tiles
-        c4 = c2.reshape(B, h // window, window, w // window, window)
+    else:  # non-overlapping tiles; partial border tiles are dropped, as a
+        # stride=window, padding=0 conv would (kornia ConvSoftArgmax2d)
+        hT, wT = h // window, w // window
+        c4 = c2[:, :hT * window, :wT * window]
+        c4 = c4.reshape(B, hT, window, wT, window)
         c4 = jnp.moveaxis(c4, 2, 3)                      # [B, hT, wT, k, k]
         p = jax.nn.softmax(
             (c4 / temperature).reshape(*c4.shape[:3], -1), axis=-1

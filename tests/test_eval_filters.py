@@ -264,3 +264,15 @@ def test_softargmax_nms_dispatch_and_thr(rng):
         "softargmax_nms", jnp.asarray(conf), (h, w), test_thr=0.5,
         window=3, temperature=1.0))
     assert not np.any(m & (conf <= 0.5))
+
+
+def test_softargmax_nms_tiled_nondivisible_grid(rng):
+    """stride == window on a grid NOT divisible by the window: partial
+    border tiles are dropped (a stride=window, padding=0 conv's semantics),
+    not a reshape crash — e.g. the 176x176 4c grid with window 5."""
+    h, w, win = 7, 8, 3
+    conf = rng.random((1, h * w)).astype(np.float32)
+    got = np.asarray(nms.softargmax_nms_mask(
+        jnp.asarray(conf), (h, w), win, temperature=1.0, stride=win))
+    assert got.shape == (1, h * w)
+    assert 0 < got.sum() <= (h // win) * (w // win)
