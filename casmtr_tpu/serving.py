@@ -12,8 +12,11 @@ module fixes the geometry up front:
   arbitrary input sizes and aspect ratios never retrace;
 - keypoints come back in ORIGINAL image pixel coordinates (the matching ops
   apply the resize factors on device; ops/matching.py:169-170);
-- ``match_batch`` packs B pairs into one forward so the MXU amortizes
-  dispatch and small-kernel overheads across pairs.
+- ``match_batch`` packs B pairs into one forward; NOTE measured on v5e
+  (BASELINE.md): per-chip throughput is HIGHEST at batch 1 (4.77 pairs/s
+  vs 3.95 at b4 — the candidate gathers scale superlinearly with batch),
+  so scale serving with batch-1 data-parallel replicas over the mesh and
+  reserve match_batch for latency-insensitive multi-pair requests.
 
 Checkpoints: pass an orbax directory or a released torch ``.ckpt`` (converted
 in memory, utils/convert.py).
