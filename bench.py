@@ -39,6 +39,13 @@ def main():
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per step (throughput scaling; metric name "
                         "gains a _b{N} suffix for N>1)")
+    p.add_argument("--recipe", default=None,
+                   help="bench a named model recipe instead of the flagship; "
+                        "--backbone is ignored when set. NOTE the published "
+                        "indoor_casmtr_4c recipe is internally inconsistent "
+                        "(196 vs 128 dims) and crashes in the reference and "
+                        "here alike — it is consumed by the PMT refine model "
+                        "(cli/train.py --refine), not a plain forward")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -46,7 +53,12 @@ def main():
     from casmtr_tpu.train.train_step import init_train_state, make_train_step
 
     size = args.size
-    cfg = _flagship_cfg(train_size=size, backbone=args.backbone)
+    if args.recipe:
+        from casmtr_tpu.configs import build_config
+        cfg = build_config(args.recipe,
+                           overrides={"loftr": {"train_size": size}})
+    else:
+        cfg = _flagship_cfg(train_size=size, backbone=args.backbone)
     # remat off: at batch 1 / 704^2 the bf16 fused-gather activations fit in
     # HBM, and skipping the recompute is ~15% faster (0.74 vs 0.86 s/step)
     from casmtr_tpu.config import override
@@ -94,8 +106,11 @@ def main():
     _ = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.iters
 
-    metric = ("casmtr4c_twins_train_step_704" if args.backbone == "twins"
-              else "casmtr4c_train_step_704")
+    if args.recipe:
+        metric = f"{args.recipe}_train_step_{size}"
+    else:
+        metric = ("casmtr4c_twins_train_step_704" if args.backbone == "twins"
+                  else "casmtr4c_train_step_704")
     if B > 1:
         metric += f"_b{B}"
     print(json.dumps({
