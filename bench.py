@@ -39,6 +39,10 @@ def main():
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per step (throughput scaling; metric name "
                         "gains a _b{N} suffix for N>1)")
+    p.add_argument("--remat", action="store_true",
+                   help="enable per-layer rematerialization (needed for "
+                        "--batch >1 at 704^2: remat-off activations OOM the "
+                        "16 GB HBM; ~15%% slower per pair at batch 1)")
     p.add_argument("--recipe", default=None,
                    help="bench a named model recipe instead of the flagship; "
                         "--backbone is ignored when set. NOTE the published "
@@ -62,7 +66,7 @@ def main():
     # remat off: at batch 1 / 704^2 the bf16 fused-gather activations fit in
     # HBM, and skipping the recompute is ~15% faster (0.74 vs 0.86 s/step)
     from casmtr_tpu.config import override
-    cfg = override(cfg, {"loftr": {"remat": False}})
+    cfg = override(cfg, {"loftr": {"remat": bool(args.remat)}})
     model = CasMTR(cfg.loftr)
 
     rng = np.random.default_rng(0)
@@ -113,6 +117,8 @@ def main():
                   else "casmtr4c_train_step_704")
     if B > 1:
         metric += f"_b{B}"
+    if args.remat:
+        metric += "_remat"
     print(json.dumps({
         "metric": metric,
         "value": round(dt, 4),
