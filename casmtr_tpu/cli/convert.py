@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 
 def main(argv=None):
+    from casmtr_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(
         description="Convert a released torch checkpoint to orbax")
     p.add_argument("ckpt", help="torch .ckpt/.pth path")

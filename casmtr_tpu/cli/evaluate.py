@@ -154,6 +154,8 @@ def run_eval(cfg: Config, params, dataset=None, max_pairs: Optional[int] = None,
 
 
 def main(argv=None):
+    from casmtr_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="CasMTR-TPU benchmark evaluation")
     p.add_argument("--model", default="outdoor_casmtr_4c")
     p.add_argument("--data", default="megadepth_test_1500")

@@ -50,6 +50,8 @@ def match_pair(cfg, variables, path0: str, path1: str, resize: int = 1024,
 
 
 def main(argv=None):
+    from casmtr_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="CasMTR-TPU single-pair demo")
     p.add_argument("img0")
     p.add_argument("img1")

@@ -32,6 +32,8 @@ def write_ply(path: str, points: np.ndarray):
 
 
 def main(argv=None):
+    from casmtr_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="CasMTR-TPU SfM reconstruction")
     p.add_argument("image_dir", help="directory of sequential frames "
                                      "(sorted by filename)")

@@ -174,6 +174,8 @@ def resume_state(cfg: Config, state, restored, base_lr: float,
 
 
 def main(argv=None):
+    from casmtr_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="CasMTR-TPU training")
     p.add_argument("--model", default="outdoor_casmtr_4c")
     p.add_argument("--data", default="megadepth_trainval_704")
@@ -323,16 +325,28 @@ def main(argv=None):
 
     t0 = time.time()
     for epoch in range(args.epochs):
+        # data_s: host time blocked on the input pipeline; step_s: the rest
+        # (dispatch + device-blocked fetches). Device execution of step k
+        # overlaps the data wait of k+1 (async dispatch), so a loader-bound
+        # run shows data_s >> step_s while the chip still runs flat out up
+        # to the loader rate — this split is how you tell loader-bound from
+        # device-bound without a profiler.
+        t_data = 0.0
+        t_mark = time.time()
         for i, batch in enumerate(train_loader):
+            t_data += time.time() - t_mark
             state, scalars = step_fn(state, device_batch(batch, mesh))
             if i % args.log_every == 0:
                 s = {k: float(v) for k, v in scalars.items()}
-                rate = (i + 1) / (time.time() - t0 + 1e-9)
+                elapsed = time.time() - t0 + 1e-9
+                rate = (i + 1) / elapsed
                 gstep = int(jax.device_get(state.step))
                 s["lr"] = float(lr_sched(gstep))
                 tb.scalars({f"train/{k}": v for k, v in s.items()}, gstep)
                 print(f"epoch {epoch} step {i}/{steps_per_epoch} "
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "
+                      f"data_s={t_data / (i + 1):.3f} "
+                      f"step_s={(elapsed - t_data) / (i + 1):.3f} "
                       + " ".join(f"{k}={v:.3f}" for k, v in s.items()
                                  if k != "loss"))
                 if not np.isfinite(s["loss"]):
@@ -347,6 +361,7 @@ def main(argv=None):
                         {"params": state.params,
                          "batch_stats": state.batch_stats}))
                     raise RuntimeError(f"NaN loss at step {int(state.step)}")
+            t_mark = time.time()
         t0 = time.time()
 
         if (epoch + 1) % args.val_every_epochs == 0:

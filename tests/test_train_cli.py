@@ -389,3 +389,23 @@ def test_resume_restores_ema(tmp_path):
                             steps_per_epoch=100, reset_lr=True)
     np.testing.assert_allclose(np.asarray(s2.ema_params["m"]["w"]), 0.5)
     np.testing.assert_allclose(np.asarray(s2.params["m"]["w"]), 1.0)
+
+
+def test_cli_compile_cache_configured(tmp_path, monkeypatch):
+    """Every CLI main enables the persistent XLA compile cache (a 704² train
+    graph is a multi-minute/multi-ten-minute compile; without the on-disk
+    cache each CLI invocation pays it again — only bench.py configured it
+    before). Env override wins; the repo-local .jax_cache is the default in
+    a source checkout."""
+    from casmtr_tpu.cli import enable_compile_cache
+    d = str(tmp_path / "cache")
+    monkeypatch.setenv("CASMTR_JAX_CACHE_DIR", d)
+    got = enable_compile_cache()
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    # all CLI mains call it as their first statement
+    import inspect
+    for mod in ("train", "evaluate", "match_pair", "reconstruct", "convert"):
+        src = inspect.getsource(
+            __import__(f"casmtr_tpu.cli.{mod}", fromlist=["main"]).main)
+        assert "enable_compile_cache()" in src, mod
