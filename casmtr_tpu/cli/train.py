@@ -333,22 +333,35 @@ def main(argv=None):
         # device-bound without a profiler.
         t_data = 0.0
         t_mark = time.time()
+        # Rolling (per-log-window) step wall vs cumulative mean: the cumulative
+        # mean includes the first-step compile (minutes through the relay) and
+        # overstates step time for hundreds of steps; the windowed mean is the
+        # honest warm-step wall (window 0 is the compile step and is labeled).
+        win_t0, win_data, win_n = time.time(), 0.0, 0
         for i, batch in enumerate(train_loader):
-            t_data += time.time() - t_mark
+            dt_data = time.time() - t_mark
+            t_data += dt_data
+            win_data += dt_data
             state, scalars = step_fn(state, device_batch(batch, mesh))
+            win_n += 1
             if i % args.log_every == 0:
                 s = {k: float(v) for k, v in scalars.items()}
-                elapsed = time.time() - t0 + 1e-9
-                rate = (i + 1) / elapsed
+                now = time.time()
+                elapsed = now - t0 + 1e-9
                 gstep = int(jax.device_get(state.step))
                 s["lr"] = float(lr_sched(gstep))
                 tb.scalars({f"train/{k}": v for k, v in s.items()}, gstep)
+                win_step = (now - win_t0 - win_data) / win_n
+                cum_step = (elapsed - t_data) / (i + 1)
+                step_tag = "compile_s" if i == 0 else "step_s"
+                rate = win_n / (now - win_t0 + 1e-9)
                 print(f"epoch {epoch} step {i}/{steps_per_epoch} "
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "
-                      f"data_s={t_data / (i + 1):.3f} "
-                      f"step_s={(elapsed - t_data) / (i + 1):.3f} "
+                      f"data_s={win_data / win_n:.3f} "
+                      f"{step_tag}={win_step:.3f} avg_step_s={cum_step:.3f} "
                       + " ".join(f"{k}={v:.3f}" for k, v in s.items()
                                  if k != "loss"))
+                win_t0, win_data, win_n = time.time(), 0.0, 0
                 if not np.isfinite(s["loss"]):
                     # NaN dump (reference lightning_cascade.py:259-265).
                     # The train step SKIPS updates on non-finite loss, so the

@@ -125,6 +125,90 @@ def test_ba_multishard_matches_single(rng):
                                atol=1e-4)
 
 
+def test_ba_sparse_cg_matches_dense(rng):
+    """solver="cg" (matrix-free sparse Schur + PCG) must reproduce the dense
+    direct solve's converged cost; cameras agree to inexact-Newton slack.
+
+    The CG matvec (Hcc x - B Vinv B^T x) carries ~1e-3 relative f32
+    cancellation noise, so steps are inexact and accept/reject compounds the
+    difference — cost parity is the convergence oracle, camera parameters
+    are bounded-delta (see _pcg docstring)."""
+    p = make_problem(rng, C=5, P=80)
+    q_d, c_d = jax.jit(lambda q: ba_mod.run_ba(q, iters=8))(p)
+    q_s, c_s = jax.jit(lambda q: ba_mod.run_ba(
+        q, iters=8, solver="cg", cg_iters=200, cg_tol=1e-8))(p)
+    np.testing.assert_allclose(float(c_s), float(c_d), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(q_s.cam_rvec),
+                               np.asarray(q_d.cam_rvec), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(q_s.cam_tvec),
+                               np.asarray(q_d.cam_tvec), atol=1e-2)
+
+
+def test_ba_sparse_cg_huber_and_duplicates(rng):
+    """The sparse matvec makes no (point,cam)-uniqueness assumption: with
+    duplicated observations and Huber weighting it still matches dense."""
+    p = make_problem(rng, noise=0.4, C=4, P=50)
+    # duplicate a slice of observations (same (p,c) pairs seen twice)
+    sl = slice(0, 40)
+    p = p._replace(
+        obs_cam=jnp.concatenate([p.obs_cam, p.obs_cam[sl]]),
+        obs_pt=jnp.concatenate([p.obs_pt, p.obs_pt[sl]]),
+        obs_uv=jnp.concatenate([p.obs_uv, p.obs_uv[sl]]),
+        obs_valid=jnp.concatenate([p.obs_valid, p.obs_valid[sl]]))
+    q_d, c_d = ba_mod.run_ba(p, iters=6, huber_delta=2.0)
+    q_s, c_s = ba_mod.run_ba(p, iters=6, huber_delta=2.0,
+                             solver="cg", cg_iters=200, cg_tol=1e-8)
+    np.testing.assert_allclose(float(c_s), float(c_d), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(q_s.cam_tvec),
+                               np.asarray(q_d.cam_tvec), atol=1e-2)
+
+
+def test_ba_sparse_multishard_matches_single(rng):
+    """Sharded sparse-CG BA (landmarks partitioned, [C,6] psum per CG step)
+    must match the single-device sparse result."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    p = make_problem(rng, C=3, P=40)
+    q_single, cost_single = ba_mod.run_ba(p, iters=5, solver="cg",
+                                          cg_iters=150, cg_tol=1e-8)
+
+    order = np.argsort(np.asarray(p.obs_pt), kind="stable")
+    p = p._replace(obs_cam=p.obs_cam[order], obs_pt=p.obs_pt[order],
+                   obs_uv=p.obs_uv[order], obs_valid=p.obs_valid[order])
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.asarray(devs), ("shard",))
+    n = p.obs_uv.shape[0]
+    assert n % 2 == 0
+
+    @jax.jit
+    def sharded(p):
+        def inner(obs_cam, obs_pt, obs_uv, obs_valid):
+            local = p._replace(obs_cam=obs_cam[0], obs_pt=obs_pt[0],
+                               obs_uv=obs_uv[0], obs_valid=obs_valid[0])
+            q, cost = ba_mod.run_ba(local, iters=5, axis_name="shard",
+                                    solver="cg", cg_iters=150, cg_tol=1e-8)
+            return (q.cam_rvec[None], q.cam_tvec[None], cost[None])
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+            out_specs=(P("shard"), P("shard"), P("shard")),
+        )(p.obs_cam.reshape(2, -1), p.obs_pt.reshape(2, -1),
+          p.obs_uv.reshape(2, -1, 2), p.obs_valid.reshape(2, -1))
+
+    rv, tv, costs = sharded(p)
+    np.testing.assert_allclose(np.asarray(costs)[0], np.asarray(costs)[1],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(costs)[0],
+                               float(cost_single), rtol=1e-3)
+    # psum reduction order perturbs the inexact-CG steps; bounded-delta
+    # camera agreement (cost parity above is the convergence oracle)
+    np.testing.assert_allclose(np.asarray(rv)[0],
+                               np.asarray(q_single.cam_rvec), atol=1e-2)
+
+
 def test_chain_reconstruction_ate(rng):
     """Two-view chain + BA on synthetic tracks: ATE after alignment is small."""
     rvecs, tvecs, pts, K, oc, op, ouv = synth_scene(rng, C=4, P=60,
