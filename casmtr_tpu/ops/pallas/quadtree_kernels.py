@@ -40,11 +40,21 @@ Top-k tie-breaking: lowest child-major column (= child-then-block order),
 whereas the reference breaks ties by candidate enumeration order.  Ties
 between distinct keys with bit-equal scores are measure-zero; the final
 message is tie-order invariant regardless.
+
+VPU cost note (r4): scores are computed in BASE-2 units — the softmax scale
+and log2(e) are folded into q BEFORE the kernel (one [rows, D] multiply
+instead of a full-row [rows, Lb] multiply per segment), and exp2 replaces
+exp (TPU's exp lowers to exp2(x * log2e); pre-scaling makes the extra
+multiply per element disappear).  Softmax is invariant to the base change:
+2^(s*log2e - m2) == e^(s - m), so the message is identical up to fp
+rounding.  The saved LSE residual is stored in base-2 units (m2 + log2 l).
 """
 
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -54,6 +64,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 _TP = 128  # query parents per grid step (=> 4*_TP query rows)
+_LOG2E = math.log2(math.e)
+# Fold the whole score scale into q before the kernel: removes the per-score
+# [rows, Lb] multiply from BOTH the forward and the backward recompute.  For
+# bf16 models this rounds q*c once to bf16 (vs rounding q), so kernel-vs-
+# gather-oracle parity moves from ~1e-6 to the bf16 rounding level (~1e-3)
+# while accuracy vs the f32 math is unchanged; gated until device-measured.
+_PRESCALE = os.environ.get("CASMTR_QK_PRESCALE", "0") == "1"
 
 # The backward's per-child live set (several [_TP, Lb] f32 tiles) exceeds the
 # default 16 MiB scoped-vmem budget at Lb ~ (88/2)^2; v5e has 128 MiB VMEM.
@@ -74,29 +91,33 @@ def _membership_bias(ids, Lb: int):
 
 
 def _build_scores(q_c, k_ref, bias, s_scr, scale: float):
-    """Fill s_scr[j] = q_c @ k_j^T * scale + bias for the 4 child segments."""
+    """Fill s_scr[j] = q_c @ k_j^T * scale + bias for the 4 child segments
+    (base-2 score units; scale == 1.0 when q was pre-scaled — the multiply
+    then disappears from the hot [rows, Lb] path)."""
     for j in range(4):
         s = jax.lax.dot_general(
             q_c, k_ref[0, 0, j],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s_scr[j] = s * scale + bias
+        s_scr[j] = (s + bias) if scale == 1.0 else (s * scale + bias)
 
 
 def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
                 scale: float, Lb: int, n_topk: int, ts_ref=None, ti_ref=None):
     """One [_TP parents x all keys] tile: scores -> softmax -> (top-k) -> PV.
 
-    VMEM/MXU discipline: exactly ONE exp pass (p overwrites the score
-    scratch), and the P @ V matmul runs with p cast to the value dtype so a
-    bf16 model pays a single MXU pass instead of an emulated-f32 multi-pass.
-    The per-row logsumexp is written out so the backward skips the max and
+    VMEM/MXU discipline: exactly ONE exp2 pass (p overwrites the score
+    scratch; scores are in base-2 units so no log2e multiply), and the
+    P @ V matmul runs with p cast to the value dtype so a bf16 model pays a
+    single MXU pass instead of an emulated-f32 multi-pass.  The per-row
+    BASE-2 logsumexp is written out so the backward skips the max and
     normalizer passes entirely (flash-style LSE residual).
     """
     bias = _membership_bias(ids_ref[0, 0], Lb)
-    hit = bias == 0.0
-    col = jax.lax.broadcasted_iota(jnp.int32, (_TP, Lb), 1)
     vdt = v_ref.dtype
+    if n_topk:
+        hit = bias == 0.0
+        col = jax.lax.broadcasted_iota(jnp.int32, (_TP, Lb), 1)
     for c in range(4):
         q_c = q_ref[0, 0, c]
         _build_scores(q_c, k_ref, bias, s_scr, scale)
@@ -106,7 +127,7 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
         l = jnp.zeros_like(m)
         acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
         for j in range(4):
-            p = jnp.exp(s_scr[j] - m)   # masked cols: exp(-1e30 - m) == 0
+            p = jnp.exp2(s_scr[j] - m)  # masked cols: exp2(-1e30 - m) == 0
             l = l + jnp.sum(p, axis=1, keepdims=True)
             acc = acc + jax.lax.dot_general(
                 p.astype(vdt), v_ref[0, 0, j],
@@ -117,7 +138,7 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
                 # candidate whose exp underflowed to 0 still wins the max.
                 s_scr[j] = jnp.where(hit, p, jnp.float32(-1.0))
         msg_ref[0, 0, c] = acc / l
-        lse_ref[0, 0, c] = jnp.broadcast_to(m + jnp.log(l), (_TP, 8))
+        lse_ref[0, 0, c] = jnp.broadcast_to(m + jnp.log2(l), (_TP, 8))
         # iterative top-k extraction on the candidate p values (softmax is
         # monotonic in the score, so selection order matches the oracle).
         big = jnp.int32(2 ** 30)
@@ -140,14 +161,20 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
 
 
 def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, s_scr, *, scale: float, Lb: int):
+                dq_ref, dk_ref, dv_ref, s_scr, *, score_scale: float,
+                grad_scale: float, q_unscale: float, Lb: int):
     """Flash-style backward: one score pass into the [4, _TP, Lb] scratch
     (re-used as the A scratch — ~4 MiB at Lb = (88/2)^2, well inside the
-    raised vmem budget); the saved LSE residual normalizes directly
-    (A = exp(s - lse)) so there is no max or normalizer pass, and
+    raised vmem budget); the saved BASE-2 LSE residual normalizes directly
+    (A = exp2(s2 - lse2)) so there is no max or normalizer pass, and
     delta = rowsum(dO * O) from the saved forward output replaces the dP
     pass.  Each child costs 4 score + 4 dP + 12 gradient matmuls and a
-    single exp sweep."""
+    single exp2 sweep.
+
+    ``score_scale`` is the base-2 score scale fed to _build_scores (1.0 when
+    q was pre-scaled); ``grad_scale`` is the MATH softmax scale (D^-1/2) in
+    dS = A * (dP - delta) * grad_scale; ``q_unscale`` restores the original
+    q for the dK matmul when q was pre-scaled (dK = dS^T q_orig)."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         for j in range(4):
@@ -165,12 +192,15 @@ def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
 
     for c in range(4):
         q_c = q_ref[0, 0, c]
+        qo_c = q_c if q_unscale == 1.0 else (
+            q_c.astype(jnp.float32) * q_unscale).astype(kdt)
         g_c = g_ref[0, 0, c]
         lse_c = lse_ref[0, 0, c][:, 0:1]
-        # single pass: A = exp(s - lse) directly (masked cols underflow to 0)
-        _build_scores(q_c, k_ref, bias, s_scr, scale)
+        # single pass: A = exp2(s2 - lse2) directly (masked cols underflow
+        # to 0)
+        _build_scores(q_c, k_ref, bias, s_scr, score_scale)
         for j in range(4):
-            s_scr[j] = jnp.exp(s_scr[j] - lse_c)
+            s_scr[j] = jnp.exp2(s_scr[j] - lse_c)
         # delta = rowsum(dO * O): O = A @ V (saved forward output), so
         # sum_c A_c (g . V_c) == g . O — no dP pass needed for delta.
         delta = jnp.sum(g_c.astype(jnp.float32) * o_ref[0, 0, c],
@@ -181,14 +211,14 @@ def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
         dq_acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
         for j in range(4):
             a_j = s_scr[j]
-            ds_j = ((a_j * (dp(g_c, j) - delta) * scale)).astype(kdt)
+            ds_j = ((a_j * (dp(g_c, j) - delta) * grad_scale)).astype(kdt)
             a_j = a_j.astype(kdt)
             dq_acc = dq_acc + jax.lax.dot_general(
                 ds_j, k_ref[0, 0, j],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dk_ref[0, 0, j] += jax.lax.dot_general(
-                ds_j, q_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                ds_j, qo_c, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dv_ref[0, 0, j] += jax.lax.dot_general(
                 a_j, g_c, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -238,7 +268,8 @@ def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
     B, H, _, P_pad, D = q_cm.shape
     Lb = k_cm.shape[3]
     KX = ids_bh.shape[-1]
-    scale = D ** -0.5
+    # base-2 score scale; 1.0 when q was pre-scaled in _prepare
+    scale = 1.0 if _PRESCALE else D ** -0.5 * _LOG2E
     grid = (B, H, P_pad // _TP)
     in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
     lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
@@ -287,7 +318,8 @@ def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
     B, H, _, P_pad, D = q_cm.shape
     Lb = k_cm.shape[3]
     KX = ids_bh.shape[-1]
-    scale = D ** -0.5
+    score_scale = 1.0 if _PRESCALE else D ** -0.5 * _LOG2E
+    q_unscale = 1.0 / (D ** -0.5 * _LOG2E) if _PRESCALE else 1.0
     grid = (B, H, P_pad // _TP)
     in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
     lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
@@ -295,7 +327,9 @@ def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
     in_specs = in_specs + [msg_spec, msg_spec, lse_spec]  # g, o, lse
     kv_spec = pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    kern = functools.partial(_bwd_kernel, scale=scale, Lb=Lb)
+    kern = functools.partial(_bwd_kernel, score_scale=score_scale,
+                             grad_scale=D ** -0.5, q_unscale=q_unscale,
+                             Lb=Lb)
     dq, dk, dv = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(msg_spec, kv_spec, kv_spec),
@@ -322,6 +356,11 @@ def _prepare(q, k, v, topk_idx_prev, hw_q, hw_k):
     P = Lq // 4
     P_pad = -(-P // _TP) * _TP
     q_cm = block_children(q, h0, w0).transpose(0, 3, 2, 1, 4)  # [B,H,4,P,D]
+    if _PRESCALE:
+        # fold the base-2 softmax scale into q (f32 multiply, model dtype
+        # storage) — see module docstring; the kernel then adds bias only.
+        c = jnp.float32(D ** -0.5 * _LOG2E)
+        q_cm = (q_cm.astype(jnp.float32) * c).astype(q.dtype)
     q_cm = _pad_parents(q_cm, 3, P_pad)
     k_cm = _to_child_major(k, h1, w1)
     v_cm = _to_child_major(v, h1, w1)
