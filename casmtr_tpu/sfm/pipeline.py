@@ -400,7 +400,9 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
                          ba_iters: int = 20, huber_delta: float = 3.0,
                          max_obs: Optional[int] = None,
                          pose_solver: str = "cv2",
-                         pgo: bool = False) -> SfMResult:
+                         pgo: bool = False,
+                         solver: str = "auto",
+                         cg_iters: int = 100) -> SfMResult:
     """End-to-end: keyframes -> partitioned pair matching -> chained init
     with scale propagation -> tracks -> triangulation -> robust Schur BA
     (Huber, ``huber_delta`` px — wrong track merges become gross outliers;
@@ -408,7 +410,11 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
 
     ``pgo``: refine the chained init by pose-graph optimization over ALL
     matched pairs (the overlap>=2 / loop pairs cancel chain drift) before
-    BA — recommended for long sequences."""
+    BA — recommended for long sequences.
+
+    ``solver``: BA solver (ba.run_ba). "auto" picks the sparse matrix-free
+    CG path when the dense [P, C, 6, 3] cross-block would exceed ~200 MB
+    (P*C > 3e6), else the exact dense direct solve."""
     if 1 not in overlaps:
         raise ValueError("overlaps must include 1: the chained "
                          "initialization needs every consecutive keyframe "
@@ -440,8 +446,12 @@ def reconstruct_sequence(match_fn: MatchFn, n_frames: int, K: np.ndarray,
         raise ValueError("no tracks survived — matcher produced too few "
                          "consistent matches")
     problem = Rc.build_problem(Rs, ts, K, tracks, max_obs=max_obs)
+    if solver == "auto":
+        pc = problem.points.shape[0] * problem.cam_rvec.shape[0]
+        solver = "cg" if pc > 3e6 else "dense"
     refined, cost = ba_mod.run_ba(problem, iters=ba_iters,
-                                  huber_delta=huber_delta)
+                                  huber_delta=huber_delta, solver=solver,
+                                  cg_iters=cg_iters)
     return SfMResult(keyframes=keyframes, matches=matches,
                      tracks=raw_tracks, problem=refined,
                      init_Rs=Rs, init_ts=ts, cost=float(cost))

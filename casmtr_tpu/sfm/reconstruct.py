@@ -13,6 +13,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from casmtr_tpu.sfm import ba as ba_mod
@@ -39,40 +40,54 @@ def build_problem(Rs, ts, K, tracks: Dict[int, List[Tuple[int, np.ndarray]]],
     initialized by DLT triangulation from their first two views.
     Observations whose init point lands behind (or implausibly close to)
     its camera are marked invalid up front — a single wrong-cheirality
-    point otherwise dominates the LM accept/reject with ~1e9 px residuals."""
-    pts = []
-    obs_cam, obs_pt, obs_uv, obs_ok = [], [], [], []
-    for pid, (tid, views) in enumerate(sorted(tracks.items())):
-        (c0, uv0), (c1, uv1) = views[0], views[1]
-        P0 = K @ np.concatenate([Rs[c0], ts[c0][:, None]], axis=1)
-        P1 = K @ np.concatenate([Rs[c1], ts[c1][:, None]], axis=1)
-        X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
-                                   jnp.asarray(uv0[None]),
-                                   jnp.asarray(uv1[None])))[0]
-        pts.append(X)
-        for c, uv in views:
-            z = float(Rs[c][2] @ X + ts[c][2])
-            obs_cam.append(c)
-            obs_pt.append(pid)
-            obs_uv.append(uv)
-            obs_ok.append(bool(np.all(np.isfinite(X))) and z > 1e-6)
-    n = len(obs_cam)
+    point otherwise dominates the LM accept/reject with ~1e9 px residuals.
+
+    Vectorized for reconstruction scale: the per-track DLT triangulations
+    run as ONE batched (vmap) SVD call and the cheirality test as one
+    einsum — at 50k tracks the per-track eager-dispatch version spent
+    ~30 s in host round trips."""
+    items = sorted(tracks.items())
+    Rs_np = np.asarray(Rs, np.float64)
+    ts_np = np.asarray(ts, np.float64)
+    counts = np.asarray([len(views) for _, views in items], np.int64)
+    obs_cam_l = np.fromiter((c for _, views in items for c, _ in views),
+                            np.int32, count=int(counts.sum()))
+    obs_uv_l = np.asarray([uv for _, views in items for _, uv in views],
+                          np.float64).reshape(-1, 2)
+    obs_pt_l = np.repeat(np.arange(len(items), dtype=np.int32), counts)
+    # batched DLT from each track's first two views
+    c0 = np.asarray([views[0][0] for _, views in items], np.int32)
+    c1 = np.asarray([views[1][0] for _, views in items], np.int32)
+    uv0 = np.asarray([views[0][1] for _, views in items], np.float64)
+    uv1 = np.asarray([views[1][1] for _, views in items], np.float64)
+    Pm = np.einsum("ij,cjk->cik", K,
+                   np.concatenate([Rs_np, ts_np[..., None]], axis=2))
+    X = np.asarray(jax.vmap(
+        lambda p0, p1, a, b: triangulate(p0, p1, a[None], b[None])[0])(
+        jnp.asarray(Pm)[c0], jnp.asarray(Pm)[c1],
+        jnp.asarray(uv0), jnp.asarray(uv1)))
+    # per-observation cheirality against the init point
+    z = (np.einsum("nj,nj->n", Rs_np[obs_cam_l][:, 2, :],
+                   X[obs_pt_l].astype(np.float64))
+         + ts_np[obs_cam_l][:, 2])
+    ok = np.all(np.isfinite(X), axis=1)[obs_pt_l] & (z > 1e-6)
+    n = len(obs_cam_l)
     cap = max_obs or n
     if n > cap:
         raise ValueError(
             f"{n} observations exceed max_obs={cap}; raise max_obs (the "
             f"static capacity the BA loop jits against)")
     pad = cap - n
-    valid = np.asarray(obs_ok + [False] * pad)
-    obs_cam = np.asarray(obs_cam + [0] * pad, np.int32)
-    obs_pt = np.asarray(obs_pt + [0] * pad, np.int32)
-    obs_uv = np.asarray(obs_uv + [[0.0, 0.0]] * pad, np.float32)
-    rvecs = np.stack([np.asarray(rotation_to_rvec(jnp.asarray(R)))
-                      for R in Rs])
+    valid = np.concatenate([ok, np.zeros(pad, bool)])
+    obs_cam = np.concatenate([obs_cam_l, np.zeros(pad, np.int32)])
+    obs_pt = np.concatenate([obs_pt_l, np.zeros(pad, np.int32)])
+    obs_uv = np.concatenate(
+        [obs_uv_l.astype(np.float32), np.zeros((pad, 2), np.float32)])
+    rvecs = np.asarray(jax.vmap(rotation_to_rvec)(jnp.asarray(Rs_np)))
     return ba_mod.BAProblem(
         cam_rvec=jnp.asarray(rvecs.astype(np.float32)),
         cam_tvec=jnp.asarray(np.asarray(ts, np.float32)),
-        points=jnp.asarray(np.stack(pts).astype(np.float32)),
+        points=jnp.asarray(X.astype(np.float32)),
         K=jnp.asarray(K.astype(np.float32)),
         obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
         obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.asarray(valid))

@@ -37,14 +37,19 @@ from casmtr_tpu.sfm import pipeline as pl
 from casmtr_tpu.sfm import reconstruct as Rc
 
 
-def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35):
+def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35, fx=400.0,
+                   full_span=False, pan_rate=0.002, y_half=3.0):
     """Textured wall + translating/panning camera (tests/test_sfm_pipeline.py
-    geometry, scaled up: wider wall so 80 frames keep overlap)."""
-    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]])
-    span = baseline * n_frames * 0.6 + 8
-    pts = np.stack([rng.uniform(-span, 4, P), rng.uniform(-3, 3, P),
+    geometry, scaled up: wider wall so 80 frames keep overlap). ``fx``
+    controls the field of view (higher = narrower = shorter tracks);
+    ``full_span`` spreads the wall over the whole camera travel and
+    ``pan_rate`` caps viewing obliqueness (0.002*200 = 0.4 rad makes the
+    late pairs so oblique that per-pair RANSAC starts failing)."""
+    K = np.array([[fx, 0, 320], [0, fx, 240], [0, 0, 1]])
+    span = baseline * n_frames * (1.0 if full_span else 0.6) + 8
+    pts = np.stack([rng.uniform(-span, 4, P), rng.uniform(-y_half, y_half, P),
                     rng.uniform(6, 10, P)], -1)
-    rvecs = np.stack([[0.0, 0.002 * c, 0.0] for c in range(n_frames)])
+    rvecs = np.stack([[0.0, pan_rate * c, 0.0] for c in range(n_frames)])
     tvecs = np.stack([[baseline * c, 0.01 * c, 0.0]
                       for c in range(n_frames)])
     uvs, vis = [], []
@@ -67,14 +72,19 @@ def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35):
     return match_fn, K, centers
 
 
-def bench_sequence(n_frames):
+def bench_sequence(n_frames, P=400, fx=400.0, full_span=False,
+                   overlaps=(1, 2, 3), ba_iters=40, metric="sfm_sequence",
+                   pan_rate=0.002, y_half=3.0, pose_solver="cv2"):
     rng = np.random.default_rng(0)
-    match_fn, K, centers_gt = synth_sequence(rng, n_frames)
+    match_fn, K, centers_gt = synth_sequence(rng, n_frames, P=P, fx=fx,
+                                             full_span=full_span,
+                                             pan_rate=pan_rate, y_half=y_half)
     t0 = time.time()
     res = pl.reconstruct_sequence(match_fn, n_frames, K,
                                   keyframes=list(range(n_frames)),
-                                  overlaps=(1, 2, 3), ba_iters=40,
-                                  quant=1.0, pgo=True)
+                                  overlaps=overlaps, ba_iters=ba_iters,
+                                  quant=1.0, pgo=True,
+                                  pose_solver=pose_solver)
     wall = time.time() - t0
     n_obs = int(np.asarray(res.problem.obs_valid).sum())
     rms = float(np.sqrt(res.cost / max(n_obs, 1) / 2))
@@ -84,7 +94,8 @@ def bench_sequence(n_frames):
     init_centers = np.stack([
         -R.T @ t for R, t in zip(res.init_Rs, res.init_ts)])
     ate_init = Rc.ate_rmse(init_centers, centers_gt[res.keyframes])
-    out = {"metric": "sfm_sequence", "frames": n_frames,
+    out = {"metric": metric, "frames": n_frames,
+           "n_points": int(res.problem.points.shape[0]),
            "n_tracks": len(res.tracks), "n_obs": n_obs,
            "rms_px": round(rms, 4), "ate": round(float(ate), 5),
            "ate_chain_init": round(float(ate_init), 5),
@@ -95,14 +106,22 @@ def bench_sequence(n_frames):
 
 
 def make_big_problem(rng, C, P, track_len=5):
-    """Cameras on an arc observing a point cloud; every point sees
-    ``track_len`` consecutive cameras -> N = P * track_len observations."""
-    pts = np.stack([rng.uniform(-6, 6, P), rng.uniform(-4, 4, P),
-                    rng.uniform(8, 14, P)], -1)
+    """Cameras translating along x with a slow pan; each point is ANCHORED
+    near the frustum of its ``track_len`` consecutive observing cameras ->
+    N = P * track_len observations, all actually visible.  (A fixed cloud
+    under per-camera 0.004c pan only works to C~60; at C=240 later cameras
+    look away entirely and residuals blow up to ~1e10 px.)"""
     K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]])
-    rv = np.stack([[0.0, 0.004 * c, 0.0] for c in range(C)])
+    total_pan = 0.25
+    rv = np.stack([[0.0, total_pan * c / max(C - 1, 1), 0.0]
+                   for c in range(C)])
     tv = np.stack([[0.1 * c, 0.0, 0.0] for c in range(C)])
-    first = rng.integers(0, C - track_len + 1, P)
+    u = rng.uniform(0, C - track_len, P)
+    first = np.floor(u).astype(np.int64)
+    x_anchor = -0.1 * (u + track_len / 2)
+    pts = np.stack([x_anchor + rng.uniform(-1.5, 1.5, P),
+                    rng.uniform(-4, 4, P),
+                    rng.uniform(8, 14, P)], -1)
     obs_cam = (first[:, None] + np.arange(track_len)[None]).reshape(-1)
     obs_pt = np.repeat(np.arange(P), track_len)
     uv = np.asarray(jax.vmap(
@@ -110,11 +129,15 @@ def make_big_problem(rng, C, P, track_len=5):
                                jnp.asarray(pts)[p], jnp.asarray(K)))(
         jnp.asarray(obs_cam), jnp.asarray(obs_pt)))
     uv = uv + rng.normal(0, 0.5, uv.shape)
-    # perturb the init so BA has real work
-    rv_n = rv + rng.normal(0, 0.002, rv.shape)
-    tv_n = tv + rng.normal(0, 0.02, tv.shape)
-    pts_n = pts + rng.normal(0, 0.05, pts.shape)
-    return ba_mod.BAProblem(
+    # perturb the init so BA has real work: large enough that the recovered
+    # trajectory is clearly better than the init (BA's own residual drift
+    # with short tracks is ~0.05 here — an init at that level has nothing
+    # to recover)
+    rv_n = rv + rng.normal(0, 0.005, rv.shape)
+    tv_n = tv + rng.normal(0, 0.1, tv.shape)
+    pts_n = pts + rng.normal(0, 0.1, pts.shape)
+    gt = (rv, tv)
+    return gt, ba_mod.BAProblem(
         cam_rvec=jnp.asarray(rv_n, jnp.float32),
         cam_tvec=jnp.asarray(tv_n, jnp.float32),
         points=jnp.asarray(pts_n, jnp.float32),
@@ -125,34 +148,19 @@ def make_big_problem(rng, C, P, track_len=5):
         obs_valid=jnp.ones(len(obs_cam), bool))
 
 
-def bench_sharded_ba(P_points, C=60, track_len=5, iters=8, n_shards=8):
-    """Landmark-partitioned psum-Schur BA: each shard owns P/n landmarks
-    (RENUMBERED to a compact local range — the dense [P_local, C, 6, 3]
-    cross-block then shrinks n_shards-fold, which is the whole point of the
-    partition) vs the single-device dense solve."""
-    from jax.sharding import Mesh, PartitionSpec as Pspec
-    from jax import shard_map
-
-    rng = np.random.default_rng(1)
-    p = make_big_problem(rng, C, P_points, track_len)
-    N = p.obs_uv.shape[0]
-
-    t0 = time.time()
-    q1, c1 = jax.block_until_ready(
-        jax.jit(lambda q: ba_mod.run_ba(q, iters=iters))(p))
-    t_single_compile = time.time() - t0
-    t0 = time.time()
-    q1, c1 = jax.block_until_ready(
-        jax.jit(lambda q: ba_mod.run_ba(q, iters=iters))(p))
-    t_single = time.time() - t0
-
-    # ---- partition landmarks into n_shards compact groups ----
+def partition_landmarks(p, n_shards):
+    """Partition a BAProblem's landmarks (and their observations) into
+    ``n_shards`` compact groups: each shard owns P/n landmarks RENUMBERED to
+    a local range, so per-shard structures shrink n_shards-fold. Returns
+    (sc, sp, suv, sv, spts) stacked [n_shards, ...] arrays."""
+    P_points = p.points.shape[0]
     assert P_points % n_shards == 0
     Pl = P_points // n_shards
     order = np.argsort(np.asarray(p.obs_pt), kind="stable")
     oc = np.asarray(p.obs_cam)[order]
     op = np.asarray(p.obs_pt)[order]
     ouv = np.asarray(p.obs_uv)[order]
+    ov = np.asarray(p.obs_valid)[order]
     shard_of = op // Pl
     cap = int(max(np.bincount(shard_of, minlength=n_shards)))
     cap = -(-cap // 8) * 8
@@ -168,9 +176,34 @@ def bench_sharded_ba(P_points, C=60, track_len=5, iters=8, n_shards=8):
         sc[s, i] = oc[k]
         sp[s, i] = op[k] - s * Pl      # compact local landmark id
         suv[s, i] = ouv[k]
-        sv[s, i] = True
+        sv[s, i] = ov[k]
         fill[s] += 1
+    return sc, sp, suv, sv, spts
 
+
+def bench_sharded_ba(P_points, C=60, track_len=5, iters=8, n_shards=8):
+    """Landmark-partitioned psum-Schur BA: each shard owns P/n landmarks
+    (RENUMBERED to a compact local range — the dense [P_local, C, 6, 3]
+    cross-block then shrinks n_shards-fold, which is the whole point of the
+    partition) vs the single-device dense solve."""
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+    from jax import shard_map
+
+    rng = np.random.default_rng(1)
+    _, p = make_big_problem(rng, C, P_points, track_len)
+    N = p.obs_uv.shape[0]
+
+    t0 = time.time()
+    q1, c1 = jax.block_until_ready(
+        jax.jit(lambda q: ba_mod.run_ba(q, iters=iters))(p))
+    t_single_compile = time.time() - t0
+    t0 = time.time()
+    q1, c1 = jax.block_until_ready(
+        jax.jit(lambda q: ba_mod.run_ba(q, iters=iters))(p))
+    t_single = time.time() - t0
+
+    sc, sp, suv, sv, spts = partition_landmarks(p, n_shards)
+    Pl = P_points // n_shards
     mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("shard",))
 
     @jax.jit
@@ -219,13 +252,126 @@ def bench_sharded_ba(P_points, C=60, track_len=5, iters=8, n_shards=8):
     return out
 
 
+def bench_sharded_cg(P_points=56000, C=240, track_len=8, iters=12,
+                     cg_iters=60, shard_counts=(2, 4, 8)):
+    """Reconstruction-scale sparse-Schur PCG BA (VERDICT r3 #5): C>=200
+    cameras / P>=50k points, where the dense path's [P, C, 6, 3] cross-block
+    (72*P*C bytes — 900 GB here) cannot exist. Measures: recovery quality
+    (ATE vs ground truth after BA from a perturbed init), single-device wall,
+    and landmark-sharded walls over the CPU mesh with scaling efficiency
+    t1 / (n * tn). NOTE the virtual 8-device CPU mesh shares this host's
+    physical cores (nproc caps the realizable parallel speedup); per-shard
+    memory and the camera-sized-only collective traffic are the
+    hardware-independent scaling facts."""
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+    from jax import shard_map
+
+    rng = np.random.default_rng(2)
+    (rv_gt, tv_gt), p = make_big_problem(rng, C, P_points, track_len)
+    N = int(p.obs_uv.shape[0])
+
+    def centers(rv, tv):
+        R = np.asarray(jax.vmap(G.rodrigues)(jnp.asarray(rv)))
+        return -np.einsum("cij,cj->ci", R.transpose(0, 2, 1), np.asarray(tv))
+
+    run = jax.jit(lambda q: ba_mod.run_ba(q, iters=iters, solver="cg",
+                                          cg_iters=cg_iters))
+    t0 = time.time()
+    q1, c1 = jax.block_until_ready(run(p))
+    t_compile = time.time() - t0
+    t0 = time.time()
+    q1, c1 = jax.block_until_ready(run(p))
+    t_single = time.time() - t0
+
+    n_obs = int(np.asarray(p.obs_valid).sum())
+    rms0 = float(np.sqrt(float(ba_mod.robust_cost(p, None)) / n_obs / 2))
+    rms1 = float(np.sqrt(float(c1) / n_obs / 2))
+    ate0 = Rc.ate_rmse(centers(p.cam_rvec, p.cam_tvec), centers(rv_gt, tv_gt))
+    ate1 = Rc.ate_rmse(centers(q1.cam_rvec, q1.cam_tvec),
+                       centers(rv_gt, tv_gt))
+    out = {"metric": "sfm_big_cg_ba", "C": C, "P": P_points, "N": N,
+           "iters": iters, "cg_iters": cg_iters,
+           "rms_px_init": round(rms0, 3), "rms_px": round(rms1, 3),
+           "ate_init": round(float(ate0), 5), "ate": round(float(ate1), 5),
+           "sparse_W_MB": round(N * 18 * 4 / 2**20, 1),
+           "dense_B_MB_equiv": round(P_points * C * 18 * 4 / 2**20, 1),
+           "t_single_s": round(t_single, 2),
+           "t_compile_s": round(t_compile - t_single, 2)}
+    print(json.dumps(out), flush=True)
+    assert rms1 < 1.0 and ate1 < ate0 * 0.5, out
+
+    for n_shards in shard_counts:
+        sc, sp, suv, sv, spts = partition_landmarks(p, n_shards)
+        mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("shard",))
+
+        @jax.jit
+        def sharded(sc, sp, suv, sv, spts):
+            def inner(sc, sp, suv, sv, spts):
+                local = p._replace(points=spts[0], obs_cam=sc[0],
+                                   obs_pt=sp[0], obs_uv=suv[0],
+                                   obs_valid=sv[0])
+                q, cost = ba_mod.run_ba(local, iters=iters, solver="cg",
+                                        cg_iters=cg_iters, axis_name="shard")
+                return q.cam_rvec[None], q.cam_tvec[None], cost[None]
+
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(Pspec("shard"),) * 5,
+                out_specs=(Pspec("shard"),) * 3)(sc, sp, suv, sv, spts)
+
+        args = (jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(suv),
+                jnp.asarray(sv), jnp.asarray(spts))
+        rvs, tvs, costs = jax.block_until_ready(sharded(*args))
+        t0 = time.time()
+        rvs, tvs, costs = jax.block_until_ready(sharded(*args))
+        t_shard = time.time() - t0
+        costs = np.asarray(costs)
+        rms_s = float(np.sqrt(float(costs[0]) / n_obs / 2))
+        row = {"metric": "sfm_big_cg_ba_sharded", "n_shards": n_shards,
+               "rms_px": round(rms_s, 3),
+               "obs_per_shard": int(sc.shape[1]),
+               "W_MB_per_shard": round(sc.shape[1] * 18 * 4 / 2**20, 1),
+               "collective_bytes_per_cg_step": int(C * 6 * 4),
+               "t_sharded_s": round(t_shard, 2),
+               "efficiency_vs_single": round(
+                   t_single / (n_shards * t_shard), 3),
+               "speedup": round(t_single / t_shard, 2)}
+        print(json.dumps(row), flush=True)
+        assert np.allclose(costs, costs[0], rtol=1e-3)
+        assert abs(rms_s - rms1) / rms1 < 0.05, row
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--points", type=int, default=3200)
-    ap.add_argument("--only", choices=["seq", "ba"], default=None)
+    ap.add_argument("--only", choices=["seq", "ba", "bigba", "bigseq"],
+                    default=None)
+    ap.add_argument("--big", action="store_true",
+                    help="reconstruction scale: 200-frame pipeline with "
+                         ">=50k-point tracks + C=240/P=56k sharded CG BA")
     a = ap.parse_args()
-    if a.only in (None, "seq"):
-        bench_sequence(a.frames)
-    if a.only in (None, "ba"):
-        bench_sharded_ba(a.points)
+    if a.big:
+        if a.only in (None, "bigseq"):
+            # fx=900: the narrower-FOV variants (fx >= 1200, and fx=800 on
+            # the most oblique late pairs) push essential-matrix RANSAC
+            # under its 0.3 px-noise conditioning floor — measured with
+            # estimate_pose on pairs (167..198); y_half=1.5 keeps the wall
+            # inside the vertical FOV so >=50k of the points become tracks
+            # pose_solver="device": the narrow FOV + 0.3 px noise sit at
+            # cv2.findEssentialMat's conditioning floor and ~10 of the 398
+            # pairs fail stochastically (each failure breaks chain scale
+            # propagation); the batched device RANSAC solves all of them
+            # (checked on the cv2-failing pairs directly) and is the
+            # TPU-native path this bench exists to exercise
+            bench_sequence(200, P=56000, fx=900.0, full_span=True,
+                           overlaps=(1, 2), ba_iters=15,
+                           metric="sfm_sequence_big", pan_rate=0.0005,
+                           y_half=1.5, pose_solver="device")
+        if a.only in (None, "bigba"):
+            bench_sharded_cg()
+    else:
+        if a.only in (None, "seq"):
+            bench_sequence(a.frames)
+        if a.only in (None, "ba"):
+            bench_sharded_ba(a.points)
