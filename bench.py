@@ -18,10 +18,13 @@ import time
 import jax
 
 # persistent compilation cache: the 704^2 train-step graph takes ~30 min to
-# compile through the axon remote-compile tunnel; cache it across runs
+# compile through the axon remote-compile tunnel; cache it across runs.
+# min_compile_time 0: persist EVERY graph — the relay charges a compile RPC
+# even for trivial graphs, and sub-threshold graphs were re-RPC'd by every
+# fresh process (327 misses per bench run measured 2026-08-20)
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -37,5 +37,5 @@ def enable_compile_cache(path: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     # persist anything that took real compile time (default threshold is
     # high enough to skip trivial graphs)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     return path

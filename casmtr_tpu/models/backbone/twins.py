@@ -18,6 +18,7 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from casmtr_tpu.models.backbone.resnet_fpn import (
     batch_norm, conv1x1, conv3x3, _KAIMING)
@@ -125,8 +126,12 @@ class FPNBasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy on purpose: module-level jnp constants become TRACERS when the
+# module is first imported inside a jit trace (init_train_state jits the
+# whole init; lazy model imports then execute under the trace) and leak
+# into later traces (UnexpectedTracerError)
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class TwinsFPN_8_4_2(nn.Module):

@@ -130,22 +130,51 @@ class Matcher:
         self.variables = variables
 
     def _get_apply(self, B: int):
-        """Jitted eval forward with match capacities scaled by B."""
+        """Jitted eval forward with match capacities scaled by B.
+
+        Mesh mode runs the forward under ``shard_map`` so each replica's
+        B/n pairs are processed FULLY locally.  Plain GSPMD sharding of the
+        batch axis is NOT replica-parallel here: match selection is a
+        global top-(B*M) across the batch, so the partitioner inserts
+        hundreds of all-to-all/all-gather resharding collectives (counted
+        on the compiled 8-replica module).  Under shard_map the selection
+        is per-replica (== the B/n-pair single-device behavior) and the
+        compiled module is collective-free; local b_ids are offset by
+        ``axis_index * (B/n)`` to stay globally meaningful."""
         if B not in self._applies:
             lcfg = self.cfg.loftr
-            if B == 1:
+            n = self.mesh.size if self.mesh is not None else 1
+            Bl = B // n  # pairs per replica (match_batch checks B % n == 0)
+            if Bl == 1:
                 model = self._model
             else:
                 scaled = override(self.cfg, {"loftr": {
                     "match_coarse": {
-                        "max_matches": lcfg.match_coarse.max_matches * B},
+                        "max_matches": lcfg.match_coarse.max_matches * Bl},
                     "match_cascade": {
                         "max_matches": tuple(
-                            m * B for m in lcfg.match_cascade.max_matches)},
+                            m * Bl for m in lcfg.match_cascade.max_matches)},
                 }})
                 model = build_model(scaled.loftr)
-            self._applies[B] = jax.jit(
-                lambda v, b: self._strip(model.apply(v, b, train=False)))
+            if self.mesh is None:
+                self._applies[B] = jax.jit(
+                    lambda v, b: self._strip(model.apply(v, b, train=False)))
+            else:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def local_fwd(v, b):
+                    out = Matcher._strip(model.apply(v, b, train=False))
+                    off = jax.lax.axis_index("data") * Bl
+                    out["b_ids"] = out["b_ids"] + off
+                    return jax.tree_util.tree_map(lambda x: x[None], out)
+
+                sm = shard_map(local_fwd, mesh=self.mesh,
+                               in_specs=(P(), P("data")),
+                               out_specs=P("data"))
+                self._applies[B] = jax.jit(
+                    lambda v, b: jax.tree_util.tree_map(
+                        lambda x: x.reshape((-1,) + x.shape[2:]), sm(v, b)))
         return self._applies[B]
 
     @staticmethod

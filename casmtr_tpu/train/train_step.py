@@ -34,16 +34,27 @@ class TrainState(NamedTuple):
 def init_train_state(model, cfg: Config, batch, rng, steps_per_epoch: int,
                      base_lr: float, frozen_label_fn=None
                      ) -> Tuple[TrainState, Any]:
-    variables = model.init(rng, batch, train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(cfg.trainer, base_lr, steps_per_epoch,
                          frozen_label_fn=frozen_label_fn)
-    opt_state = tx.init(params)
+
+    # ONE jitted init instead of eager flax/optax init: eager init dispatches
+    # ~330 single-op jits (truncated_normal/reshape/mul/... per param), each
+    # a separate compile RPC — ~minutes of setup through the axon relay's
+    # remote-compile tunnel, and each below the persistent-cache write
+    # threshold so every process pays it again.  A single graph compiles
+    # once and persists.
+    def _init(rng, batch):
+        variables = model.init(rng, batch, train=False)
+        params = variables["params"]
+        return params, variables.get("batch_stats", {}), tx.init(params)
+
+    params, batch_stats, opt_state = jax.jit(_init)(rng, batch)
     # EMA must be a COPY: aliasing the params buffers breaks donation
-    # (donate_argnums would donate the same buffer twice)
-    ema = (jax.tree_util.tree_map(jnp.array, params) if cfg.trainer.ema
-           else None)
+    # (donate_argnums would donate the same buffer twice).  The copy runs as
+    # its own jit: outputs of a (non-donating) jit are fresh buffers, so no
+    # leaf can alias params — and it is one compile instead of one per leaf.
+    ema = (jax.jit(lambda t: jax.tree_util.tree_map(jnp.array, t))(params)
+           if cfg.trainer.ema else None)
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
                       opt_state, ema), tx
 

@@ -38,7 +38,8 @@ from casmtr_tpu.sfm import reconstruct as Rc
 
 
 def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35, fx=400.0,
-                   full_span=False, pan_rate=0.002, y_half=3.0):
+                   full_span=False, pan_rate=0.002, y_half=3.0,
+                   y_rate=0.01):
     """Textured wall + translating/panning camera (tests/test_sfm_pipeline.py
     geometry, scaled up: wider wall so 80 frames keep overlap). ``fx``
     controls the field of view (higher = narrower = shorter tracks);
@@ -50,7 +51,7 @@ def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35, fx=400.0,
     pts = np.stack([rng.uniform(-span, 4, P), rng.uniform(-y_half, y_half, P),
                     rng.uniform(6, 10, P)], -1)
     rvecs = np.stack([[0.0, pan_rate * c, 0.0] for c in range(n_frames)])
-    tvecs = np.stack([[baseline * c, 0.01 * c, 0.0]
+    tvecs = np.stack([[baseline * c, y_rate * c, 0.0]
                       for c in range(n_frames)])
     uvs, vis = [], []
     for c in range(n_frames):
@@ -74,16 +75,18 @@ def synth_sequence(rng, n_frames, P=400, noise=0.3, baseline=0.35, fx=400.0,
 
 def bench_sequence(n_frames, P=400, fx=400.0, full_span=False,
                    overlaps=(1, 2, 3), ba_iters=40, metric="sfm_sequence",
-                   pan_rate=0.002, y_half=3.0, pose_solver="cv2"):
+                   pan_rate=0.002, y_half=3.0, pose_solver="cv2",
+                   y_rate=0.01, quant=1.0):
     rng = np.random.default_rng(0)
     match_fn, K, centers_gt = synth_sequence(rng, n_frames, P=P, fx=fx,
                                              full_span=full_span,
-                                             pan_rate=pan_rate, y_half=y_half)
+                                             pan_rate=pan_rate, y_half=y_half,
+                                             y_rate=y_rate)
     t0 = time.time()
     res = pl.reconstruct_sequence(match_fn, n_frames, K,
                                   keyframes=list(range(n_frames)),
                                   overlaps=overlaps, ba_iters=ba_iters,
-                                  quant=1.0, pgo=True,
+                                  quant=quant, pgo=True,
                                   pose_solver=pose_solver)
     wall = time.time() - t0
     n_obs = int(np.asarray(res.problem.obs_valid).sum())
@@ -364,10 +367,24 @@ if __name__ == "__main__":
             # propagation); the batched device RANSAC solves all of them
             # (checked on the cv2-failing pairs directly) and is the
             # TPU-native path this bench exists to exercise
-            bench_sequence(200, P=56000, fx=900.0, full_span=True,
-                           overlaps=(1, 2), ba_iters=15,
-                           metric="sfm_sequence_big", pan_rate=0.0005,
-                           y_half=1.5, pose_solver="device")
+            # pan_rate=0 / y_rate=0: a pure lateral track. The default pan
+            # and y-drift accumulate over 200 frames until the late pairs'
+            # visible set is a parallax-poor near-collinear sliver (the
+            # camera ends 2 m below the wall strip; disparity std 5.8 px at
+            # pair 5 -> 1.7 px at pair 197, vs 0.42 px match noise) and
+            # essential-matrix RANSAC — cv2 AND the device solver — fails
+            # stochastically right where match counts peak
+            # quant=0.25: at ~3400 visible points per 640x480 frame, 1 px
+            # track-merge cells produce ~19 birthday collisions per frame —
+            # thousands of two-point tracks whose Huber-capped residuals
+            # bias the cameras (run at quant=1.0: rms 2.13 px, BA ATE worse
+            # than its init). This synthetic repeats a point's uv exactly
+            # across pairs, so sub-pixel cells cannot split true tracks.
+            bench_sequence(200, P=64000, fx=900.0, full_span=True,
+                           overlaps=(1, 2), ba_iters=25,
+                           metric="sfm_sequence_big", pan_rate=0.0,
+                           y_half=2.0, y_rate=0.0, pose_solver="device",
+                           quant=0.25)
         if a.only in (None, "bigba"):
             bench_sharded_cg()
     else:

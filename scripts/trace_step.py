@@ -2,7 +2,7 @@ import sys; sys.path.insert(0, "/root/repo")
 import jax, numpy as np, jax.numpy as jnp, glob, gzip, json, collections, os
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 from __graft_entry__ import _flagship_cfg
 from casmtr_tpu.models.casmtr import CasMTR
 from casmtr_tpu.train.train_step import init_train_state, make_train_step
