@@ -195,7 +195,9 @@ def main(argv=None):
         "image0": jnp.zeros((1, size, size, 3), jnp.float32),
         "image1": jnp.zeros((1, size, size, 3), jnp.float32),
     }
-    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    variables = jax.jit(
+        lambda r: model.init(r, init_batch, train=False)
+    )(jax.random.PRNGKey(0))  # one compile RPC, not ~300 eager ones
     if args.ckpt:
         from casmtr_tpu.train.checkpoints import load_checkpoint_variables
         variables = load_checkpoint_variables(args.ckpt, variables)

@@ -74,7 +74,9 @@ def main(argv=None):
     img0, img1, mask0, mask1, scale0, scale1 = load_im_padding(
         args.img0, args.img1, resize=args.resize, df=32)
     init_batch = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
-    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    variables = jax.jit(
+        lambda r: model.init(r, init_batch, train=False)
+    )(jax.random.PRNGKey(0))  # one compile RPC, not ~300 eager ones
     if args.ckpt:
         from casmtr_tpu.train.checkpoints import load_checkpoint_variables
         variables = load_checkpoint_variables(args.ckpt, variables)

@@ -96,9 +96,10 @@ def main(argv=None):
     model = build_model(cfg.loftr)
     img0, img1, *_ = load_im_padding(paths[0], paths[1], resize=args.resize,
                                      df=32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           {"image0": jnp.asarray(img0),
-                            "image1": jnp.asarray(img1)}, train=False)
+    init_b = {"image0": jnp.asarray(img0), "image1": jnp.asarray(img1)}
+    variables = jax.jit(
+        lambda r: model.init(r, init_b, train=False)
+    )(jax.random.PRNGKey(0))  # one compile RPC, not ~300 eager ones
     if args.ckpt:
         from casmtr_tpu.train.checkpoints import load_checkpoint_variables
         variables = load_checkpoint_variables(args.ckpt, variables)

@@ -160,6 +160,46 @@ def to_block_major(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.swapaxes(xb, 2, 3).reshape(B, L // 4, H, 4 * D)
 
 
+def _dense_masked_select(q, k, topk_idx_prev, topk: int,
+                         hw_q: Tuple[int, int], hw_k: Tuple[int, int]):
+    """Candidate top-k via masked DENSE scores (the split-top-k selection).
+
+    Computes q @ k^T against ALL child-major keys on the MXU and masks
+    non-candidates to -1e30 with a membership bias built from the previous
+    level's top-k block ids — the same trick as the masked-flash kernel
+    (ops/pallas/quadtree_kernels.py), applied to the forward-only selection.
+    Replaces the descriptor-bound candidate gather (TPU row gathers run at
+    ~45-90M descriptors/s; the dense QK is ~0.2 ms of MXU work at the 704^2
+    geometries). Selection matches the gathered-candidate softmax exactly:
+    masked columns can never win, softmax is monotonic in the score, and
+    the returned scores ARE the candidate softmax values.
+
+    Returns (topk_score, topk_idx) unblocked to [B, Lq, topk, H], with
+    topk_idx flat indices into the (h1, w1) key grid."""
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    P = Lq // 4
+    Lb = (h1 // 2) * (w1 // 2)
+    w2 = w1 // 2
+    qb = block_children(q, h0, w0)                        # [B,P,4,H,D]
+    kb = block_children(k, h1, w1)                        # [B,Lb,4,H,D]
+    s = jnp.einsum("bpfhd,bljhd->bpfhjl", qb, kb,
+                   preferred_element_type=jnp.float32) * (D ** -0.5)
+    blk = jnp.arange(Lb, dtype=topk_idx_prev.dtype)
+    hit = (topk_idx_prev[..., None] == blk).any(axis=2)   # [B,P,H,Lb]
+    s = jnp.where(hit[:, :, None, :, None, :], s, jnp.float32(-1e30))
+    # child-major flat column c = j * Lb + l (matches masked_fine_level)
+    A = jax.nn.softmax(s.reshape(B, P, 4, H, 4 * Lb), axis=-1)
+    ts, tl = exact_topk(A, topk)                          # [B,P,4,H,topk]
+    child, b = tl // Lb, tl % Lb
+    flat = (((b // w2) * 2 + child // 2) * w1
+            + (b % w2) * 2 + child % 2).astype(jnp.int32)
+    ts = unblock_children(jnp.swapaxes(ts, 3, 4), h0 // 2, w0 // 2)
+    flat = unblock_children(jnp.swapaxes(flat, 3, 4), h0 // 2, w0 // 2)
+    return ts, flat
+
+
 def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
                   hw_k: Tuple[int, int], w_prev: int, rel_pos=None,
                   need_topk: bool = True):
@@ -207,6 +247,19 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
             from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
             msg, _, _ = masked_fine_level(
                 q, k, v, topk_idx_prev, (h0, w0), (h1, w1), topk=0)
+            if os.environ.get("CASMTR_SPLIT_GATHER", "0") != "1":
+                # masked-DENSE selection (default): the candidate top-k is
+                # computed from dense scores against ALL child-major keys
+                # (one MXU einsum, ~0.2 ms) + a membership bias, instead of
+                # the descriptor-bound candidate gather (~5.4 ms/layer
+                # in-step at 704^2). Selection order is identical: softmax
+                # is monotonic in the score within a row, and masked
+                # columns sit at -1e30 (the callers consume only the
+                # indices; per-row candidates are distinct by top-k).
+                ts, ti = _dense_masked_select(
+                    jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+                    topk_idx_prev, topk, (h0, w0), (h1, w1))
+                return None, msg, ts, ti
             selection_only = True
             # selection below reuses the gather path on stop_gradient inputs
             q = jax.lax.stop_gradient(q)

@@ -45,7 +45,9 @@ def main():
         "image0": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
         "image1": jnp.asarray(rng.random((B, size, size, 3)), jnp.float32),
     }
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(
+        lambda r: model.init(r, batch, train=False)
+    )(jax.random.PRNGKey(0))  # one compile RPC, not ~300 eager ones
 
     @jax.jit
     def fwd(v, b):

@@ -192,3 +192,31 @@ def test_qtatt_b_lepe_merge(rng):
         expect += w[2 - i] * le_up.reshape(B, 64, H, D)
     np.testing.assert_allclose(np.asarray(out) - np.asarray(base), expect,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dense_masked_select_matches_gather_selection(rng):
+    """The masked-DENSE split-top-k selection (_dense_masked_select, the
+    TPU default) returns the same indices and softmax scores as the
+    gathered-candidate selection path it replaces."""
+    B, H, D = 2, 4, 16
+    h0 = w0 = h1 = w1 = 8
+    K, topk = 3, 5
+    Lq = h0 * w0
+    P = Lq // 4
+    Lb = (h1 // 2) * (w1 // 2)
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    # distinct per-(parent, head) candidate block ids, like real top-k output
+    ids = np.stack([rng.choice(Lb, K, replace=False)
+                    for _ in range(B * P * H)])
+    ids = jnp.asarray(ids.reshape(B, P, H, K).transpose(0, 1, 3, 2),
+                      jnp.int32)                       # [B, P, K, H]
+
+    # gather-path selection (the CPU default inside _fine_level_b)
+    _, _, ts_g, ti_g = qt._fine_level_b(q, k, v, ids, topk, (h0, w0),
+                                        (h1, w1), w1 // 2, need_topk=True)
+    ts_d, ti_d = qt._dense_masked_select(q, k, ids, topk, (h0, w0), (h1, w1))
+    np.testing.assert_array_equal(np.asarray(ti_d), np.asarray(ti_g))
+    np.testing.assert_allclose(np.asarray(ts_d), np.asarray(ts_g),
+                               rtol=2e-5, atol=2e-6)

@@ -106,6 +106,19 @@ def test_mesh_sharded_serving_matches_single_device(matcher):
         np.testing.assert_allclose(s.mconf[order_s], u.mconf[order_u],
                                    atol=1e-5)
 
+    # 2 pairs per replica (B=16 on 8 devices): exercises the scaled-capacity
+    # local model AND the axis_index b_ids offset — pair k must reproduce
+    # pair k's single-device matches, not its replica-neighbor's
+    pairs16 = pairs + [(p1, p0) for (p0, p1) in pairs]
+    res_s16 = sharded.match_batch(pairs16)
+    res_u16 = matcher.match_batch(pairs16)
+    for s, u in zip(res_s16, res_u16):
+        assert len(s.mkpts0) == len(u.mkpts0)
+        order_s = np.lexsort(s.mkpts0.T)
+        order_u = np.lexsort(u.mkpts0.T)
+        np.testing.assert_allclose(s.mkpts0[order_s], u.mkpts0[order_u],
+                                   atol=1e-4)
+
 
 def test_empty_and_threshold(matcher):
     assert matcher.match_batch([]) == []
