@@ -247,15 +247,22 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
             from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
             msg, _, _ = masked_fine_level(
                 q, k, v, topk_idx_prev, (h0, w0), (h1, w1), topk=0)
-            if os.environ.get("CASMTR_SPLIT_GATHER", "0") != "1":
-                # masked-DENSE selection (default): the candidate top-k is
-                # computed from dense scores against ALL child-major keys
-                # (one MXU einsum, ~0.2 ms) + a membership bias, instead of
-                # the descriptor-bound candidate gather (~5.4 ms/layer
-                # in-step at 704^2). Selection order is identical: softmax
-                # is monotonic in the score within a row, and masked
-                # columns sit at -1e30 (the callers consume only the
-                # indices; per-row candidates are distinct by top-k).
+            # masked-DENSE selection (default where it pays): the candidate
+            # top-k is computed from dense scores against ALL child-major
+            # keys (one MXU einsum, ~0.2 ms) + a membership bias, instead
+            # of the descriptor-bound candidate gather (~5.4 ms/layer
+            # in-step at 704^2). Selection order is identical: softmax is
+            # monotonic in the score within a row, and masked columns sit
+            # at -1e30 (the callers consume only the indices; per-row
+            # candidates are distinct by top-k). SIZE GATE: the dense
+            # [B, P, 4, H, 4*Lb] score tensor materializes in HBM — at the
+            # 44^2 level it is ~120 MB (cheap); at the 88^2 guided level it
+            # would be ~1.9 GB of HBM passes, worse than the gather.
+            B_, Lq_, H_ = q.shape[0], q.shape[1], q.shape[2]
+            Lb_ = (h1 // 2) * (w1 // 2)
+            dense_bytes = B_ * (Lq_ // 4) * 4 * H_ * 4 * Lb_ * 4
+            if (os.environ.get("CASMTR_SPLIT_GATHER", "0") != "1"
+                    and dense_bytes <= 256 * 1024 * 1024):
                 ts, ti = _dense_masked_select(
                     jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
                     topk_idx_prev, topk, (h0, w0), (h1, w1))
