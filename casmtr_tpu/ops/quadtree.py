@@ -254,15 +254,19 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
             # in-step at 704^2). Selection order is identical: softmax is
             # monotonic in the score within a row, and masked columns sit
             # at -1e30 (the callers consume only the indices; per-row
-            # candidates are distinct by top-k). SIZE GATE: the dense
-            # [B, P, 4, H, 4*Lb] score tensor materializes in HBM — at the
-            # 44^2 level it is ~120 MB (cheap); at the 88^2 guided level it
-            # would be ~1.9 GB of HBM passes, worse than the gather.
+            # candidates are distinct by top-k). SIZE GATE (memory, not
+            # speed): the dense [B, P, 4, H, 4*Lb] score tensor
+            # materializes in HBM. Cost model: dense ~ bytes * ~2.5 passes
+            # / 819 GB/s vs gather ~ B*P*K*H descriptors at a measured
+            # 14-23 M/s — dense wins while Lb < ~256*K (every production
+            # geometry: 44^2 train 120 MB, 52^2 eval b4 0.9 GB vs a
+            # measured 48 ms/layer gather). The 1 GB cap only guards HBM
+            # blowup (e.g. a hypothetical b4 guided level at ~7.7 GB).
             B_, Lq_, H_ = q.shape[0], q.shape[1], q.shape[2]
             Lb_ = (h1 // 2) * (w1 // 2)
             dense_bytes = B_ * (Lq_ // 4) * 4 * H_ * 4 * Lb_ * 4
             if (os.environ.get("CASMTR_SPLIT_GATHER", "0") != "1"
-                    and dense_bytes <= 256 * 1024 * 1024):
+                    and dense_bytes <= 1024 * 1024 * 1024):
                 ts, ti = _dense_masked_select(
                     jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
                     topk_idx_prev, topk, (h0, w0), (h1, w1))
