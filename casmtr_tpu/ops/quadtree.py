@@ -247,26 +247,19 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
             from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
             msg, _, _ = masked_fine_level(
                 q, k, v, topk_idx_prev, (h0, w0), (h1, w1), topk=0)
-            # masked-DENSE selection (default where it pays): the candidate
-            # top-k is computed from dense scores against ALL child-major
-            # keys (one MXU einsum, ~0.2 ms) + a membership bias, instead
-            # of the descriptor-bound candidate gather (~5.4 ms/layer
-            # in-step at 704^2). Selection order is identical: softmax is
-            # monotonic in the score within a row, and masked columns sit
-            # at -1e30 (the callers consume only the indices; per-row
-            # candidates are distinct by top-k). SIZE GATE (memory, not
-            # speed): the dense [B, P, 4, H, 4*Lb] score tensor
-            # materializes in HBM. Cost model: dense ~ bytes * ~2.5 passes
-            # / 819 GB/s vs gather ~ B*P*K*H descriptors at a measured
-            # 14-23 M/s — dense wins while Lb < ~256*K (every production
-            # geometry: 44^2 train 120 MB, 52^2 eval b4 0.9 GB vs a
-            # measured 48 ms/layer gather). The 1 GB cap only guards HBM
-            # blowup (e.g. a hypothetical b4 guided level at ~7.7 GB).
-            B_, Lq_, H_ = q.shape[0], q.shape[1], q.shape[2]
-            Lb_ = (h1 // 2) * (w1 // 2)
-            dense_bytes = B_ * (Lq_ // 4) * 4 * H_ * 4 * Lb_ * 4
-            if (os.environ.get("CASMTR_SPLIT_GATHER", "0") != "1"
-                    and dense_bytes <= 1024 * 1024 * 1024):
+            # masked-DENSE selection (OPT-IN, default OFF): candidate top-k
+            # from dense scores against ALL child-major keys + a membership
+            # bias instead of the candidate gather. Selection order is
+            # identical (CPU-parity-tested), but MEASURED ON DEVICE it
+            # REGRESSES: train step 0.4008 -> 0.5548 s, eval b1 4.766 ->
+            # 2.235 pairs/s. Trace-attributed culprit: approx_top_k over
+            # the WIDE masked rows — 46.5 ms/layer at [21.6k rows, 2704
+            # cols] k=32 (~5 GB/s effective; the gathered selection top-ks
+            # 128-wide rows instead). The einsum/bias/softmax are cheap.
+            # Kept for diagnosis; a viable future route needs a top-k that
+            # exploits the ≤4K-sparse mask (kernel-side streaming top-k or
+            # per-child two-stage reduction), not a wider PartialReduce.
+            if os.environ.get("CASMTR_DENSE_SELECT", "0") == "1":
                 ts, ti = _dense_masked_select(
                     jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
                     topk_idx_prev, topk, (h0, w0), (h1, w1))
