@@ -236,7 +236,10 @@ class CasMTR(nn.Module):
                     rt=pc.rt, rd=pc.rd,
                     pre_confs_s=[ds.next_conf_c01_s],
                     rd_coarse=((ds.next_idx_c01, ds.next_idx_c01_s,
-                                tuple(hw0_8c)) if pc.rd is not None else None))
+                                tuple(hw0_8c)) if pc.rd is not None else None),
+                    image0=(batch["image0"] if pc.method == "sift" else None),
+                    image0_mask=(batch.get("mask0") if pc.method == "sift"
+                                 else None))
             m_cap4 = (min(c4["train_pad_num_gt_min"], c4["max_matches"])
                       if train else c4["max_matches"])
             matches_4c, extras4 = cm.extract_cascade_matches(
@@ -324,7 +327,10 @@ class CasMTR(nn.Module):
                     rt=pc.rt, rd=pc.rd,
                     pre_confs_s=[ds.next_conf_c01_s, ws4.next_conf_c01_s],
                     rd_coarse=((ds.next_idx_c01, ds.next_idx_c01_s,
-                                tuple(hw0_8c)) if pc.rd is not None else None))
+                                tuple(hw0_8c)) if pc.rd is not None else None),
+                    image0=(batch["image0"] if pc.method == "sift" else None),
+                    image0_mask=(batch.get("mask0") if pc.method == "sift"
+                                 else None))
             m_cap2 = (min(c2["train_pad_num_gt_min"], c2["max_matches"])
                       if train else c2["max_matches"])
             matches_2c, extras2 = cm.extract_cascade_matches(

@@ -193,7 +193,9 @@ def cascade_match_mask_test(
         rt: Optional[float] = None, rd: Optional[float] = None,
         pre_confs_s: Optional[Sequence[jnp.ndarray]] = None,
         rd_coarse: Optional[Tuple[jnp.ndarray, jnp.ndarray,
-                                  Tuple[int, int]]] = None) -> jnp.ndarray:
+                                  Tuple[int, int]]] = None,
+        image0: Optional[jnp.ndarray] = None,
+        image0_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Test-time filtering chain (reference cascade_matching.py:191-251).
 
     ``rt``/``rd`` gates (reference :193-231): the reference DECLARES these in
@@ -212,7 +214,8 @@ def cascade_match_mask_test(
                                  window=post_window, topk=post_topk,
                                  s_d2d=s_d2d, d2d_w=d2d_w,
                                  temperature=post_temperature,
-                                 stride=post_stride)
+                                 stride=post_stride, image0=image0,
+                                 image0_mask=image0_mask)
     if rt is not None:
         ts = ws.next_conf_c01_s / (ws.next_conf_c01 + 1e-7)
         mask &= ~(ts > rt)

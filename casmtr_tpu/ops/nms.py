@@ -4,8 +4,9 @@ post_processing.py:35-147).
 ``maxpool_nms`` (the released-model default) keeps a position iff it is the
 argmax of the window centred on it, with torch ``F.max_pool2d(return_indices)``
 first-index tie-breaking reproduced via a static scan over window offsets.
-The 'sift' variant (kornia ScaleSpaceDetector) is intentionally unsupported —
-it is not used by any released recipe.
+The 'sift' variant dispatches to the TPU-native scale-space blob detector
+(ops/sift.py; the reference uses kornia's ScaleSpaceDetector — deviations
+documented there; no released recipe enables it).
 """
 
 from __future__ import annotations
@@ -166,7 +167,10 @@ def post_process_mask(method: Optional[str], conf: jnp.ndarray,
                       s_d2d: Optional[jnp.ndarray] = None,
                       d2d_w: Optional[int] = None,
                       temperature: float = 1.0,
-                      stride: int = 1) -> jnp.ndarray:
+                      stride: int = 1,
+                      image0: Optional[jnp.ndarray] = None,
+                      image0_mask: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
     """Dispatch (reference post_processing.py:41-145). conf: [B, L]."""
     if method is None:
         return conf > test_thr
@@ -178,8 +182,16 @@ def post_process_mask(method: Optional[str], conf: jnp.ndarray,
         m = softargmax_nms_mask(conf, hw, window, temperature, stride)
     elif method == "d2d":
         m = d2d_mask(conf, hw, window, s_d2d, d2d_w)
+    elif method == "sift":
+        # keep matches whose coarse cell contains a scale-space blob
+        # keypoint of image0 (reference post_processing.py:46-75; TPU
+        # re-implementation + deviations documented in ops/sift.py)
+        if image0 is None:
+            raise ValueError("post-process 'sift' needs image0 (the model "
+                             "threads it when post_config.method == 'sift')")
+        from casmtr_tpu.ops.sift import sift_cell_mask
+        img_stride = image0.shape[1] // hw[0]
+        m = sift_cell_mask(image0, hw, img_stride, valid_mask=image0_mask)
     else:
-        raise NotImplementedError(
-            f"post-process '{method}' not supported ('sift' requires a "
-            "kornia ScaleSpaceDetector and is unused by released recipes)")
+        raise NotImplementedError(f"post-process '{method}' not supported")
     return m & (conf > test_thr)
