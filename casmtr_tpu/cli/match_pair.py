@@ -60,12 +60,18 @@ def main(argv=None):
     p.add_argument("--resize", type=int, default=1024)
     p.add_argument("--thr", type=float, default=0.2)
     p.add_argument("--out", default="result.jpg")
+    p.add_argument("--overrides-json", default=None,
+                   help="inline JSON config overrides (e.g. to select a "
+                        "post-process method)")
     p.add_argument("--nms", action="store_true",
                    help="enable maxpool NMS post-processing (reference "
                         "test_single_pair.py:33-40)")
     args = p.parse_args(argv)
 
     cfg = build_config(args.model)
+    if args.overrides_json:
+        import json as _json
+        cfg = override(cfg, _json.loads(args.overrides_json))
     if args.nms:
         cfg = override(cfg, {"loftr": {"coarse2": {"post_config": {
             "method": "maxpool_nms", "window_size": 5}}}})
