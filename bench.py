@@ -56,7 +56,7 @@ def main():
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_cfg
-    from casmtr_tpu.models.casmtr import CasMTR
+    from casmtr_tpu.models import build_model
     from casmtr_tpu.train.train_step import init_train_state, make_train_step
 
     size = args.size
@@ -70,7 +70,8 @@ def main():
     # HBM, and skipping the recompute is ~15% faster (0.74 vs 0.86 s/step)
     from casmtr_tpu.config import override
     cfg = override(cfg, {"loftr": {"remat": bool(args.remat)}})
-    model = CasMTR(cfg.loftr)
+    # factory: CasMTR for cascade recipes, QuadtreeLoFTR for the baseline
+    model = build_model(cfg.loftr)
 
     rng = np.random.default_rng(0)
     B = args.batch
