@@ -148,6 +148,11 @@ def scale_space_keypoints(gray: jnp.ndarray, max_kpts: int = 4096,
             vm = vm[:, ::2, ::2]
         oct_scale *= 2.0
 
+    if not all_resp:
+        raise ValueError(
+            f"image {gray.shape[1]}x{gray.shape[2]} too small for the "
+            f"scale pyramid (needs >= {min_size} px on the short side"
+            f"{' after 2x doubling' if double_image else ''})")
     flat = jnp.concatenate(all_resp, axis=1)           # [B, sum(L*Ho*Wo)]
     k = min(max_kpts, flat.shape[1])
     from casmtr_tpu.ops.quadtree import exact_topk

@@ -64,3 +64,9 @@ def test_post_process_dispatch_sift():
     assert int(m.sum()) < 64               # most cells filtered
     with pytest.raises(ValueError):
         post_process_mask("sift", conf, (16, 16), 0.5)
+
+
+def test_detector_rejects_too_small_image():
+    img = jnp.zeros((1, 24, 24))
+    with pytest.raises(ValueError, match="too small"):
+        scale_space_keypoints(img)
