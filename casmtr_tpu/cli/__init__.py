@@ -35,7 +35,9 @@ def enable_compile_cache(path: str | None = None) -> str:
             path = os.path.expanduser("~/.cache/casmtr-tpu/jax")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # persist anything that took real compile time (default threshold is
-    # high enough to skip trivial graphs)
+    # persist EVERY compile: on the axon relay each eager op is a remote
+    # compile RPC (~0.5-60 s), so even "trivial" graphs are worth caching
+    # cross-process (the default threshold would skip them and every fresh
+    # process would re-pay minutes of init)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     return path

@@ -15,7 +15,7 @@ run() {
     tail -5 "/tmp/r4/${name}.log"
 }
 run kparity_dense timeout 5400 python scripts/tpu_kernel_parity.py
-run kparity_gather env CASMTR_SPLIT_GATHER=1 timeout 5400 \
+run kparity_gather timeout 5400 \
     python scripts/tpu_kernel_parity.py
 run trace_step2 timeout 5400 python scripts/trace_step.py
 echo "R4G CHAIN DONE $(date -u +%FT%TZ)"

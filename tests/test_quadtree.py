@@ -196,8 +196,9 @@ def test_qtatt_b_lepe_merge(rng):
 
 def test_dense_masked_select_matches_gather_selection(rng):
     """The masked-DENSE split-top-k selection (_dense_masked_select, the
-    TPU default) returns the same indices and softmax scores as the
-    gathered-candidate selection path it replaces."""
+    opt-in CASMTR_DENSE_SELECT=1 path — device-measured regression, default
+    OFF) returns the same indices and softmax scores as the
+    gathered-candidate selection path."""
     B, H, D = 2, 4, 16
     h0 = w0 = h1 = w1 = 8
     K, topk = 3, 5
