@@ -359,8 +359,9 @@ def main(argv=None):
                       f"loss={s['loss']:.4f} {rate:.2f} it/s "
                       f"data_s={win_data / win_n:.3f} "
                       f"{step_tag}={win_step:.3f} avg_step_s={cum_step:.3f} "
-                      + " ".join(f"{k}={v:.3f}" for k, v in s.items()
-                                 if k != "loss"))
+                      + " ".join(
+                          f"{k}={v:.2e}" if k == "lr" else f"{k}={v:.3f}"
+                          for k, v in s.items() if k != "loss"))
                 win_t0, win_data, win_n = time.time(), 0.0, 0
                 if not np.isfinite(s["loss"]):
                     # NaN dump (reference lightning_cascade.py:259-265).

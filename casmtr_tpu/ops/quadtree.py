@@ -71,6 +71,45 @@ def exact_topk(x: jnp.ndarray, k: int):
     return v.reshape(*lead, k), i.reshape(*lead, k)
 
 
+def chunked_exact_topk(x: jnp.ndarray, k: int, chunk: int):
+    """Exact top-k over the last axis via a two-stage chunked reduction.
+
+    Stage 1 splits the W-wide rows into ceil(W/chunk) chunks and top-k's each
+    NARROW chunk; stage 2 top-k's the surviving nc*min(k,chunk) values.  This
+    is EXACT: every global top-k element is, within its own chunk, among that
+    chunk's top-min(k,chunk) (at most k-1 other global winners can outrank it
+    anywhere, a fortiori inside the chunk), so stage 1 never drops a winner.
+    Tie-breaking among bit-equal values may differ from the single-pass
+    top-k; per exact_topk's contract membership among ties is unspecified on
+    TPU anyway.
+
+    Why: lax.approx_max_k's PartialReduce collapses on WIDE rows (measured
+    46.5 ms at [21.6k, 2704] k=32 on v5e, ~5 GB/s effective — PERF.md gather
+    facts) while narrow rows run at full rate.  The two-stage form keeps
+    every top-k operand at most `chunk` wide at the cost of one extra narrow
+    top-k + one narrow index gather.
+    """
+    lead = x.shape[:-1]
+    W = x.shape[-1]
+    if W <= chunk:
+        return exact_topk(x, k)
+    x2 = x.reshape(-1, W)
+    nc = -(-W // chunk)
+    pad = nc * chunk - W
+    if pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf if
+                     jnp.issubdtype(x2.dtype, jnp.floating) else 0)
+    R = x2.shape[0]
+    kc = min(k, chunk)
+    v1, i1 = exact_topk(x2.reshape(R * nc, chunk), kc)     # [R*nc, kc]
+    cols = (i1.reshape(R, nc, kc)
+            + (jnp.arange(nc, dtype=i1.dtype) * chunk)[None, :, None])
+    v2, i2 = exact_topk(v1.reshape(R, nc * kc), k)         # [R, k]
+    idx = jnp.take_along_axis(cols.reshape(R, nc * kc), i2, axis=1)
+    return v2.reshape(*lead, k), idx.reshape(*lead, k)
+
+
 def topk_lastaxis_at(x: jnp.ndarray, k: int, axis: int):
     """top_k along ``axis`` (descending), returning (values, indices) with the
     k-axis placed where ``axis`` was."""
@@ -161,7 +200,8 @@ def to_block_major(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def _dense_masked_select(q, k, topk_idx_prev, topk: int,
-                         hw_q: Tuple[int, int], hw_k: Tuple[int, int]):
+                         hw_q: Tuple[int, int], hw_k: Tuple[int, int],
+                         chunk: Optional[int] = None):
     """Candidate top-k via masked DENSE scores (the split-top-k selection).
 
     Computes q @ k^T against ALL child-major keys on the MXU and masks
@@ -173,6 +213,14 @@ def _dense_masked_select(q, k, topk_idx_prev, topk: int,
     geometries). Selection matches the gathered-candidate softmax exactly:
     masked columns can never win, softmax is monotonic in the score, and
     the returned scores ARE the candidate softmax values.
+
+    ``chunk``: if set, the top-k runs as the two-stage chunked reduction
+    (``chunked_exact_topk``) over the RAW masked scores — the wide-row
+    approx_max_k collapse is what killed the r4 wide variant — and the
+    softmax values of the k winners are reconstructed from the row
+    logsumexp (one pass over the wide row instead of exp+div+topk over it;
+    exp(-1e30 - max) underflows to exactly 0 so the denominator equals the
+    gathered-candidate softmax's up to fp roundoff).
 
     Returns (topk_score, topk_idx) unblocked to [B, Lq, topk, H], with
     topk_idx flat indices into the (h1, w1) key grid."""
@@ -189,15 +237,59 @@ def _dense_masked_select(q, k, topk_idx_prev, topk: int,
     blk = jnp.arange(Lb, dtype=topk_idx_prev.dtype)
     hit = (topk_idx_prev[..., None] == blk).any(axis=2)   # [B,P,H,Lb]
     s = jnp.where(hit[:, :, None, :, None, :], s, jnp.float32(-1e30))
-    # child-major flat column c = j * Lb + l (matches masked_fine_level)
-    A = jax.nn.softmax(s.reshape(B, P, 4, H, 4 * Lb), axis=-1)
-    ts, tl = exact_topk(A, topk)                          # [B,P,4,H,topk]
+    s = s.reshape(B, P, 4, H, 4 * Lb)        # child-major col c = j*Lb + l
+    if chunk is None:
+        A = jax.nn.softmax(s, axis=-1)
+        ts, tl = exact_topk(A, topk)                      # [B,P,4,H,topk]
+    else:
+        sv, tl = chunked_exact_topk(s, topk, chunk)
+        m = sv[..., :1]                                   # row max (=top-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1, keepdims=True))
+        ts = jnp.exp(sv - lse)
     child, b = tl // Lb, tl % Lb
     flat = (((b // w2) * 2 + child // 2) * w1
             + (b % w2) * 2 + child % 2).astype(jnp.int32)
     ts = unblock_children(jnp.swapaxes(ts, 3, 4), h0 // 2, w0 // 2)
     flat = unblock_children(jnp.swapaxes(flat, 3, 4), h0 // 2, w0 // 2)
     return ts, flat
+
+
+def _gather_masked_select(q, k, topk_idx_prev, topk: int,
+                          hw_q: Tuple[int, int], hw_k: Tuple[int, int]):
+    """Candidate top-k via the gathered-candidate path (forward-only).
+
+    The original split-top-k selection: block-gather the K candidate key
+    blocks per (parent, head), einsum against the query block, softmax over
+    the 4K candidates, exact top-k.  Descriptor-bound on TPU (23 M desc/s
+    b1, collapsing to 14 M/s at eval b4 — PERF.md); kept as the fallback
+    and the parity oracle for the dense selections.
+
+    Returns (topk_score, topk_idx) unblocked to [B, Lq, topk, H]."""
+    h0, w0 = hw_q
+    h1, w1 = hw_k
+    B, Lq, H, D = q.shape
+    K_prev = topk_idx_prev.shape[2]
+    qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
+    k_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev,
+                       n_children=4)                     # [B,P,K,H,4,D]
+    qk = jnp.einsum("bpfhd,bpkhjd->bpfhkj", qb, k_g,
+                    preferred_element_type=jnp.float32)
+    P = qk.shape[1]
+    qk = qk.reshape(B, P, 4, H, 4 * K_prev) * (D ** -0.5)
+    A = jax.nn.softmax(qk, axis=-1)
+    topk_score, topk_local = exact_topk(A, topk)         # [B, P, 4, H, k]
+    blk = jnp.take_along_axis(
+        jnp.swapaxes(topk_idx_prev, 2, 3)[:, :, None],   # [B, P, 1, H, K]
+        topk_local // 4, axis=4)                         # [B, P, 4, H, k]
+    child = topk_local % 4
+    rows = (blk // (w1 // 2)) * 2 + child // 2
+    cols = (blk % (w1 // 2)) * 2 + child % 2
+    topk_idx = rows * w1 + cols
+    topk_score = unblock_children(jnp.swapaxes(topk_score, 3, 4),
+                                  h0 // 2, w0 // 2)
+    topk_idx = unblock_children(jnp.swapaxes(topk_idx, 3, 4),
+                                h0 // 2, w0 // 2)
+    return topk_score, topk_idx
 
 
 def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
@@ -217,21 +309,23 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
     ops/pallas/quadtree_kernels.py) instead of the descriptor-bound gathers.
     Levels that need the top-k over candidates SPLIT the work: the kernel
     computes the message (dense flash fwd+bwd — no gather, no scatter-add
-    transpose), while the selection runs as a forward-only gathered-score
-    softmax + exact_topk under stop_gradient (the callers consume only the
-    int top-k *indices*; qtatt_b/:308 and qtatt_guided/:412 discard the
-    scores, so selection carries no gradient).  The kernel's own in-VMEM
-    iterative top-k extraction is slower than the small-level gathers
-    (v5e, 704^2: 6.5 vs 0.25 ms fwd at the 44^2 level) — force it with
-    CASMTR_PALLAS_FINE_TOPK=1; CASMTR_PALLAS_SPLIT_TOPK=0 reverts top-k
-    levels to the pure gather path.
+    transpose), while the selection runs forward-only under stop_gradient
+    (the callers consume only the int top-k *indices*; qtatt_b/:308 and
+    qtatt_guided/:412 discard the scores, so selection carries no gradient).
+    CASMTR_SELECT picks the selection realization: "gather"
+    (descriptor-bound candidate gather, `_gather_masked_select`), "dense"
+    (masked dense scores + wide top-k — r4, regressed on device), "dense2"
+    (masked dense scores + two-stage chunked exact top-k,
+    CASMTR_SELECT_CHUNK wide).  The kernel's own in-VMEM iterative top-k
+    extraction is slower than the small-level gathers (v5e, 704^2: 6.5 vs
+    0.25 ms fwd at the 44^2 level) — force it with CASMTR_PALLAS_FINE_TOPK=1;
+    CASMTR_PALLAS_SPLIT_TOPK=0 reverts top-k levels to the pure gather path.
     """
     h0, w0 = hw_q
     h1, w1 = hw_k
     B, _, H, D = q.shape
     K_prev = topk_idx_prev.shape[2]
 
-    selection_only = False
     if rel_pos is None:
         import os
         from casmtr_tpu.ops.gather_ops import use_pallas_fine
@@ -247,46 +341,47 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
             from casmtr_tpu.ops.pallas.quadtree_kernels import masked_fine_level
             msg, _, _ = masked_fine_level(
                 q, k, v, topk_idx_prev, (h0, w0), (h1, w1), topk=0)
-            # masked-DENSE selection (OPT-IN, default OFF): candidate top-k
-            # from dense scores against ALL child-major keys + a membership
-            # bias instead of the candidate gather. Selection order is
-            # identical (CPU-parity-tested), but MEASURED ON DEVICE it
-            # REGRESSES: train step 0.4008 -> 0.5548 s, eval b1 4.766 ->
-            # 2.235 pairs/s. Trace-attributed culprit: approx_top_k over
-            # the WIDE masked rows — 46.5 ms/layer at [21.6k rows, 2704
-            # cols] k=32 (~5 GB/s effective; the gathered selection top-ks
-            # 128-wide rows instead). The einsum/bias/softmax are cheap.
-            # Kept for diagnosis; a viable future route needs a top-k that
-            # exploits the ≤4K-sparse mask (kernel-side streaming top-k or
-            # per-child two-stage reduction), not a wider PartialReduce.
-            if os.environ.get("CASMTR_DENSE_SELECT", "0") == "1":
+            # masked-DENSE selection: candidate top-k from dense scores
+            # against ALL child-major keys + a membership bias instead of
+            # the candidate gather.  Selection order is identical
+            # (CPU-parity-tested).  The r4 variant (CASMTR_SELECT=dense)
+            # top-k'd the WIDE masked softmax row and REGRESSED on device
+            # (train 0.4008 -> 0.5548 s; approx_top_k collapses on wide
+            # rows: 46.5 ms/layer at [21.6k, 2704] k=32).  The r5 variant
+            # (CASMTR_SELECT=dense2) fixes exactly that: a two-stage
+            # chunked EXACT top-k over the raw masked scores keeps every
+            # top-k operand narrow, and the winners' softmax values come
+            # from the row logsumexp.  CASMTR_SELECT=gather reverts to the
+            # descriptor-bound candidate gather (23 M desc/s b1, 14 M/s b4
+            # — the r4 eval-batching culprit at 48 ms/layer).
+            sel_mode = os.environ.get("CASMTR_SELECT", "")
+            if not sel_mode:
+                sel_mode = ("dense" if os.environ.get(
+                    "CASMTR_DENSE_SELECT", "0") == "1" else "gather")
+            qs = jax.lax.stop_gradient(q)
+            ks = jax.lax.stop_gradient(k)
+            if sel_mode in ("dense", "dense2"):
+                chunk = (int(os.environ.get("CASMTR_SELECT_CHUNK", "512"))
+                         if sel_mode == "dense2" else None)
                 ts, ti = _dense_masked_select(
-                    jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
-                    topk_idx_prev, topk, (h0, w0), (h1, w1))
-                return None, msg, ts, ti
-            selection_only = True
-            # selection below reuses the gather path on stop_gradient inputs
-            q = jax.lax.stop_gradient(q)
-            k = jax.lax.stop_gradient(k)
+                    qs, ks, topk_idx_prev, topk, (h0, w0), (h1, w1),
+                    chunk=chunk)
+            else:
+                ts, ti = _gather_masked_select(
+                    qs, ks, topk_idx_prev, topk, (h0, w0), (h1, w1))
+            return None, msg, ts, ti
 
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
 
     # block-granular gather: candidate (k, j) is child j of selected block k.
     # K and V are gathered as ONE fused table (half the gather descriptors —
     # TPU gathers are descriptor-bound) and the internal layout keeps
-    # candidates on the LAST (lane) axis.  On the split-top-k path only K is
-    # gathered (selection needs no values and no gradient).
-    if selection_only:
-        kv_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev,
-                            n_children=4)                  # [B,P,K,H,4,D]
-        k_g = kv_g
-        v_g = None
-    else:
-        kv = jnp.concatenate([to_block_major(k, h1, w1),
-                              to_block_major(v, h1, w1)], axis=-1)
-        kv_g = block_gather(kv, topk_idx_prev, n_children=8)  # [B,P,K,H,8,D]
-        k_g = kv_g[..., :4, :]
-        v_g = kv_g[..., 4:, :]
+    # candidates on the LAST (lane) axis.
+    kv = jnp.concatenate([to_block_major(k, h1, w1),
+                          to_block_major(v, h1, w1)], axis=-1)
+    kv_g = block_gather(kv, topk_idx_prev, n_children=8)  # [B,P,K,H,8,D]
+    k_g = kv_g[..., :4, :]
+    v_g = kv_g[..., 4:, :]
     qk = jnp.einsum("bpfhd,bpkhjd->bpfhkj", qb, k_g,
                     preferred_element_type=jnp.float32)
     P = qk.shape[1]
@@ -302,11 +397,9 @@ def _fine_level_b(q, k, v, topk_idx_prev, topk: int, hw_q: Tuple[int, int],
         qk = qk + jnp.moveaxis(rp, 3, 4)                  # -> [B, P, 4, H, 4K]
 
     A = jax.nn.softmax(qk, axis=-1)                       # over 4K candidates
-    if not selection_only:
-        A6 = A.reshape(B, P, 4, H, K_prev, 4)
-        message = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
-                             preferred_element_type=jnp.float32)
-        msg = message
+    A6 = A.reshape(B, P, 4, H, K_prev, 4)
+    msg = jnp.einsum("bpfhkj,bpkhjd->bpfhd", A6, v_g,
+                     preferred_element_type=jnp.float32)
     if not need_topk:
         return A, msg, None, None
 

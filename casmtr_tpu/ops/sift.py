@@ -191,9 +191,13 @@ def sift_cell_mask(image0: jnp.ndarray, hw_c: Tuple[int, int], stride: int,
     h0, w0 = hw_c
     xy, valid = scale_space_keypoints(gray, max_kpts=max_kpts,
                                       valid_mask=valid_mask)
-    cx = jnp.clip(jnp.round(xy[..., 0] / stride), 0, w0 - 1).astype(jnp.int32)
-    cy = jnp.clip(jnp.round(xy[..., 1] / stride), 0, h0 - 1).astype(jnp.int32)
-    cell = cy * w0 + cx
+    # Reference quirk reproduced exactly (post_processing.py:70-72): the
+    # FLOAT flat index y/L*w0c + x/L is clamped then rounded as a whole, so
+    # a fractional row bleeds into the column (y=3.6 -> contributes 0.6*w0
+    # worth of columns). Per-axis round+clamp would be geometrically saner
+    # but the project invariant is exact reference semantics.
+    flat = xy[..., 1] / stride * w0 + xy[..., 0] / stride
+    cell = jnp.round(jnp.clip(flat, 0, h0 * w0 - 1)).astype(jnp.int32)
     cell = jnp.where(valid, cell, h0 * w0)             # invalid -> OOB drop
     B = gray.shape[0]
     mask = jnp.zeros((B, h0 * w0 + 1), bool)

@@ -190,11 +190,113 @@ def build_tracks(matches: PairMatches, quant: float = 4.0,
 # ---------------------------------------------------------------------------
 
 def _pose_failed(i: int, j: int, n: int):
-    warnings.warn(
-        f"RANSAC pose failed for keyframe pair ({i}, {j}) "
-        f"({n} matches) — inserting a near-identity fallback; "
-        f"the trajectory past frame {i} is unreliable", RuntimeWarning)
+    """Failure MARKER (inl=None): the chain attempts map-based recovery
+    (PnP against triangulated landmarks, then skip-pair composition) before
+    giving up — see chain_with_scale. Only the exhausted case warns."""
     return np.eye(3), np.array([0.0, 0.0, 1e-3]), None
+
+
+def _pnp_pose(mk0: np.ndarray, mk1: np.ndarray,
+              prev_depth: Dict[Tuple[int, int], float], K: np.ndarray,
+              quant: float, thresh: float):
+    """Recover the relative pose i->j by PnP RANSAC against the local map.
+
+    The chain's scale-propagation map (``prev_depth``: frame-i cell ->
+    triangulated depth at chain scale) backprojects matched frame-i
+    keypoints to 3D camera-i points; cv2.solvePnPRansac then solves the
+    frame-i -> frame-j transform from those 3D points and their frame-j
+    pixels.  Unlike the essential-matrix RANSAC this stays well-posed under
+    the classic two-view degeneracies (near-zero baseline, pure rotation,
+    dominant plane) and returns t at METRIC chain scale — no depth-ratio
+    rescale needed.
+
+    Returns (R, t, depth_j) with depth_j the frame-j cell->depth map built
+    from the PnP-inlier points transformed into camera j (so the next link
+    keeps propagating scale without re-triangulating a possibly tiny
+    baseline), or None when fewer than 6 map hits / PnP fails."""
+    import cv2
+    Kinv = np.linalg.inv(K)
+    pts3, pts2, cells_j = [], [], []
+    for idx in range(len(mk0)):
+        cell = (int(mk0[idx][0] // quant), int(mk0[idx][1] // quant))
+        d = prev_depth.get(cell)
+        if d is not None:
+            pts3.append(d * (Kinv @ np.array([mk0[idx][0], mk0[idx][1], 1.0])))
+            pts2.append(np.asarray(mk1[idx], np.float64))
+            cells_j.append((int(mk1[idx][0] // quant),
+                            int(mk1[idx][1] // quant)))
+    if len(pts3) < 6:
+        return None
+    pts3 = np.asarray(pts3, np.float64)
+    pts2 = np.asarray(pts2, np.float64)
+    ok, rvec, tvec, inl = cv2.solvePnPRansac(
+        pts3, pts2, K.astype(np.float64), None,
+        reprojectionError=max(2.0 * thresh, 2.0), iterationsCount=1000,
+        confidence=0.9999, flags=cv2.SOLVEPNP_EPNP)
+    if not ok or inl is None or len(inl) < 6:
+        return None
+    R = cv2.Rodrigues(rvec)[0]
+    t = tvec[:, 0]
+    depth_j: Dict[Tuple[int, int], float] = {}
+    for row in inl[:, 0]:
+        z = float((R @ pts3[row] + t)[2])
+        if z > 1e-6:
+            depth_j.setdefault(cells_j[row], z)
+    return R, t, depth_j
+
+
+def _skip_pair_pose(matches: PairMatches, h: int, j: int, K: np.ndarray,
+                    thresh: float, quant: float,
+                    depth_h: Optional[Dict[Tuple[int, int], float]],
+                    rel_hi: Tuple[np.ndarray, np.ndarray]):
+    """Recover link i->j through the wider-baseline skip pair (h, j).
+
+    When the consecutive pair (i, j) is degenerate, the overlap-2 pair
+    (h, j) — two keyframes apart, hence roughly double the baseline — is
+    often still solvable by essential-matrix RANSAC.  Its unit translation
+    is rescaled against frame h's landmark map (same median depth-ratio
+    rule as the chain), then composed with the already-scaled previous
+    link h->i:  R_ij = R_hj R_hi^T,  t_ij = t_hj − R_ij t_hi.
+
+    Returns (R_ij, t_ij, depth_j) with depth_j built from the (h, j)
+    triangulation transformed into camera j, or None when the pair is
+    missing / unsolvable / unscalable."""
+    if (h, j) not in matches or not depth_h:
+        return None
+    mk0, mk1, _ = matches[(h, j)]
+    ret = estimate_pose(mk0.astype(np.float64), mk1.astype(np.float64),
+                        K, K, thresh)
+    if ret is None:
+        return None
+    R_hj, t_hj, inl = ret
+    mk0, mk1 = mk0[inl], mk1[inl]
+    if len(mk0) < 8:
+        return None
+    P0 = K @ np.eye(3, 4)
+    P1 = K @ np.concatenate([R_hj, t_hj[:, None]], axis=1)
+    X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
+                               jnp.asarray(mk0), jnp.asarray(mk1)))
+    ratios = []
+    for idx in range(len(mk0)):
+        cell = (int(mk0[idx][0] // quant), int(mk0[idx][1] // quant))
+        d_prev = depth_h.get(cell)
+        d_new = float(X[idx][2])
+        if d_prev is not None and d_new > 1e-6:
+            ratios.append(d_prev / d_new)
+    if len(ratios) < 5:
+        return None
+    s = float(np.median(ratios))
+    t_hj = s * t_hj
+    R_hi, t_hi = rel_hi
+    R_ij = R_hj @ R_hi.T
+    t_ij = t_hj - R_ij @ t_hi
+    depth_j: Dict[Tuple[int, int], float] = {}
+    Xc1 = s * (X @ R_hj.T) + t_hj
+    for idx in range(len(mk1)):
+        if Xc1[idx][2] > 1e-6:
+            cell = (int(mk1[idx][0] // quant), int(mk1[idx][1] // quant))
+            depth_j.setdefault(cell, float(Xc1[idx][2]))
+    return R_ij, t_ij, depth_j
 
 
 def _pair_pose(matches: PairMatches, i: int, j: int, K: np.ndarray,
@@ -268,9 +370,22 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
     with each pair's unit-norm translation rescaled so that the depths of
     keypoints shared between pair (a,b) and pair (b,c) agree in frame b
     (median depth ratio — standard monocular VO scale propagation). The
-    first pair sets the global scale (ambiguity is inherent)."""
+    first pair sets the global scale (ambiguity is inherent).
+
+    Failed essential-matrix RANSAC links do NOT fall back to a blind
+    near-identity guess (the r4 behavior — it silently corrupted the
+    trajectory past the failure): the chain recovers from the map instead,
+    trying in order (1) PnP RANSAC against the propagated local landmark
+    map (``_pnp_pose`` — well-posed under small-baseline / pure-rotation /
+    planar degeneracies, returns metric t), (2) wider-baseline composition
+    through the overlap-2 pair (frames[a-1], j) when it was matched
+    (``_skip_pair_pose``). Only when both are impossible does the
+    near-identity fallback remain, with the "trajectory unreliable"
+    warning."""
     rel: List[Tuple[np.ndarray, np.ndarray]] = []
-    prev_depth: Optional[Dict[Tuple[int, int], float]] = None
+    # per-frame landmark maps (quantized cell -> chain-scale depth), used by
+    # scale propagation (frame i map) and by the failure recoveries
+    frame_depth: Dict[int, Dict[Tuple[int, int], float]] = {}
     device_poses = None
     if pair_poses is not None:
         device_poses = [pair_poses[(frames[a], frames[a + 1])]
@@ -286,18 +401,41 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
         R, t, inl = (device_poses[a] if device_poses is not None
                      else _pair_pose(matches, i, j, K, thresh))
         mk0, mk1, _ = matches[(i, j)]
-        if inl is not None:
+        prev_depth = frame_depth.get(i)
+        metric = False                 # t already at chain scale (recovery)
+        depth_j: Optional[Dict[Tuple[int, int], float]] = None
+        if inl is None:
+            rec = (_pnp_pose(mk0, mk1, prev_depth, K, quant, thresh)
+                   if prev_depth else None)
+            if rec is not None:
+                R, t, depth_j = rec
+                metric = True
+            else:
+                rec2 = (_skip_pair_pose(matches, frames[a - 1], j, K, thresh,
+                                        quant, frame_depth.get(frames[a - 1]),
+                                        rel[-1]) if a > 0 else None)
+                if rec2 is not None:
+                    R, t, depth_j = rec2
+                    metric = True
+                else:
+                    warnings.warn(
+                        f"RANSAC pose failed for keyframe pair ({i}, {j}) "
+                        f"({len(mk0)} matches) and no map recovery was "
+                        "possible — inserting a near-identity fallback; "
+                        f"the trajectory past frame {i} is unreliable",
+                        RuntimeWarning)
+        else:
             mk0, mk1 = mk0[inl], mk1[inl]
         # one DLT pass per pair at unit baseline; depths scale linearly with
         # the baseline, so the rescaled cam-1 points are scale * (X R^T + t)
         X = None
-        if len(mk0) > 0:
+        if len(mk0) > 0 and depth_j is None:
             P0 = K @ np.eye(3, 4)
             P1 = K @ np.concatenate([R, t[:, None]], axis=1)
             X = np.asarray(triangulate(jnp.asarray(P0), jnp.asarray(P1),
                                        jnp.asarray(mk0), jnp.asarray(mk1)))
         scale = 1.0
-        if prev_depth and X is not None and len(mk0) >= 8:
+        if not metric and prev_depth and X is not None and len(mk0) >= 8:
             # shared cells in frame i: previous pair's cam-j == this pair's
             # cam-i -> compare this pair's cam-i depths to previous depths
             ratios = []
@@ -311,14 +449,26 @@ def chain_with_scale(matches: PairMatches, frames: Sequence[int],
                 scale = float(np.median(ratios))
         t = t * scale
         rel.append((R, t))
-        prev_depth = {}
-        if X is not None:
-            Xc1 = scale * (X @ R.T) + t  # == (scale X) R^T + t_scaled
-            for idx in range(len(mk1)):
-                if Xc1[idx][2] > 1e-6:
-                    cell = (int(mk1[idx][0] // quant),
-                            int(mk1[idx][1] // quant))
-                    prev_depth.setdefault(cell, float(Xc1[idx][2]))
+        if depth_j is not None:
+            frame_depth[j] = depth_j
+        else:
+            frame_depth[j] = {}
+            if X is not None:
+                Xc1 = scale * (X @ R.T) + t  # == (scale X) R^T + t_scaled
+                for idx in range(len(mk1)):
+                    if Xc1[idx][2] > 1e-6:
+                        cell = (int(mk1[idx][0] // quant),
+                                int(mk1[idx][1] // quant))
+                        frame_depth[j].setdefault(cell, float(Xc1[idx][2]))
+                # augment frame i's map with this pair's cam-i depths (the
+                # skip-pair recovery two links later reads it)
+                fi = frame_depth.setdefault(i, {})
+                for idx in range(len(mk0)):
+                    z = float(scale * X[idx][2])
+                    if z > 1e-6:
+                        cell = (int(mk0[idx][0] // quant),
+                                int(mk0[idx][1] // quant))
+                        fi.setdefault(cell, z)
     return Rc.chain_poses(rel)
 
 

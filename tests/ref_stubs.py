@@ -66,6 +66,20 @@ def spatial_expectation2d(input, normalized_coordinates=True):
     return torch.cat([ex, ey], -1)
 
 
+def convert_points_to_homogeneous(points):
+    """kornia.geometry.conversions semantics: pad a trailing 1."""
+    return torch.nn.functional.pad(points, [0, 1], "constant", 1.0)
+
+
+def cross_product_matrix(x):
+    """kornia.geometry.epipolar.numeric semantics: [..., 3] -> skew [..., 3, 3]."""
+    zeros = torch.zeros_like(x[..., 0])
+    m = torch.stack([zeros, -x[..., 2], x[..., 1],
+                     x[..., 2], zeros, -x[..., 0],
+                     -x[..., 1], x[..., 0], zeros], dim=-1)
+    return m.view(*x.shape[:-1], 3, 3)
+
+
 # ---------------------------------------------------------------------------
 # timm layer helpers (timm.models.layers semantics)
 # ---------------------------------------------------------------------------
@@ -249,6 +263,15 @@ def install():
     k_subpix.dsnt = k_dsnt
     k_geometry.subpix = k_subpix
     k_feature.__all__ = []
+    k_conversions = _mod("kornia.geometry.conversions")
+    k_conversions.convert_points_to_homogeneous = \
+        convert_points_to_homogeneous
+    k_epipolar = _mod("kornia.geometry.epipolar")
+    k_numeric = _mod("kornia.geometry.epipolar.numeric")
+    k_numeric.cross_product_matrix = cross_product_matrix
+    k_epipolar.numeric = k_numeric
+    k_geometry.conversions = k_conversions
+    k_geometry.epipolar = k_epipolar
     kornia.utils = k_utils
     kornia.geometry = k_geometry
     kornia.feature = k_feature

@@ -221,3 +221,35 @@ def test_dense_masked_select_matches_gather_selection(rng):
     np.testing.assert_array_equal(np.asarray(ti_d), np.asarray(ti_g))
     np.testing.assert_allclose(np.asarray(ts_d), np.asarray(ts_g),
                                rtol=2e-5, atol=2e-6)
+    # dense2: two-stage chunked top-k over raw scores + lse-reconstructed
+    # softmax values — same indices and scores (chunk chosen to NOT divide
+    # the 4*Lb=64 width, exercising the -inf pad)
+    ts_c, ti_c = qt._dense_masked_select(q, k, ids, topk, (h0, w0), (h1, w1),
+                                         chunk=24)
+    np.testing.assert_array_equal(np.asarray(ti_c), np.asarray(ti_g))
+    np.testing.assert_allclose(np.asarray(ts_c), np.asarray(ts_g),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_chunked_exact_topk_matches_topk(rng):
+    """chunked_exact_topk == lax.top_k values/indices on distinct values,
+    across chunk sizes that do and do not divide the width, and with rows
+    whose winners all land in one chunk."""
+    import jax
+    R, W, k = 37, 157, 9
+    x = rng.standard_normal((R, W)).astype(np.float32)
+    # make row 3's global top-k live entirely inside one chunk
+    x[3] = -1.0
+    x[3, 40:40 + k] = np.arange(k)[::-1] + 5.0
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+    for chunk in (16, 32, 50, 157, 200):
+        v, i = qt.chunked_exact_topk(jnp.asarray(x), k, chunk)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    # leading dims preserved
+    x3 = rng.standard_normal((3, 5, W)).astype(np.float32)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x3), k)
+    v, i = qt.chunked_exact_topk(jnp.asarray(x3), k, 64)
+    assert v.shape == (3, 5, k) and i.shape == (3, 5, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))

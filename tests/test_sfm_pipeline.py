@@ -202,6 +202,78 @@ def test_scale_propagation_fixes_chain():
     assert abs(b12 / b01 - 3.0) < 0.15, (b01, b12)
 
 
+def _chain_centers(Rs, ts):
+    return np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+
+
+def test_chain_pnp_recovery_on_degenerate_pair(rng, monkeypatch):
+    """A failed essential-matrix link mid-chain recovers via PnP RANSAC
+    against the propagated landmark map (_pnp_pose): metric-scale t, NO
+    'trajectory unreliable' warning, and the chain trajectory stays aligned
+    with ground truth (the r4 behavior inserted a near-identity guess and
+    silently corrupted everything past the failure)."""
+    import warnings as w
+    match_fn, K, centers_gt = synth_sequence(rng, n_frames=5)
+    frames = list(range(5))
+    matches = pl.match_pairs(match_fn, pl.pair_graph(frames, overlaps=(1, 2)))
+    orig = pl._pair_pose
+
+    def fake(ms, i, j, K_, thresh=0.5):
+        if (i, j) == (2, 3):
+            return pl._pose_failed(i, j, len(ms[(i, j)][0]))
+        return orig(ms, i, j, K_, thresh)
+
+    monkeypatch.setattr(pl, "_pair_pose", fake)
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)   # any warn -> test failure
+        Rs, ts = pl.chain_with_scale(matches, frames, K)
+    ate = Rc.ate_rmse(_chain_centers(Rs, ts), centers_gt)
+    assert ate < 0.08, ate
+
+
+def test_chain_skip_pair_recovery(rng, monkeypatch):
+    """When PnP recovery is impossible the chain composes through the
+    wider-baseline overlap-2 pair (h, j) (_skip_pair_pose), rescaled
+    against frame h's landmark map — still no warning, still accurate."""
+    import warnings as w
+    match_fn, K, centers_gt = synth_sequence(rng, n_frames=5)
+    frames = list(range(5))
+    matches = pl.match_pairs(match_fn, pl.pair_graph(frames, overlaps=(1, 2)))
+    orig = pl._pair_pose
+
+    def fake(ms, i, j, K_, thresh=0.5):
+        if (i, j) == (2, 3):
+            return pl._pose_failed(i, j, len(ms[(i, j)][0]))
+        return orig(ms, i, j, K_, thresh)
+
+    monkeypatch.setattr(pl, "_pair_pose", fake)
+    monkeypatch.setattr(pl, "_pnp_pose", lambda *a, **k: None)
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        Rs, ts = pl.chain_with_scale(matches, frames, K)
+    ate = Rc.ate_rmse(_chain_centers(Rs, ts), centers_gt)
+    assert ate < 0.08, ate
+
+
+def test_chain_unrecoverable_still_warns(rng, monkeypatch):
+    """With no map recovery possible (PnP disabled, no overlap-2 pairs) the
+    near-identity fallback remains and the 'unreliable' warning fires."""
+    match_fn, K, _ = synth_sequence(rng, n_frames=5)
+    frames = list(range(5))
+    matches = pl.match_pairs(match_fn, pl.pair_graph(frames, overlaps=(1,)))
+    orig = pl._pair_pose
+
+    def fake(ms, i, j, K_, thresh=0.5):
+        if (i, j) == (2, 3):
+            return pl._pose_failed(i, j, len(ms[(i, j)][0]))
+        return orig(ms, i, j, K_, thresh)
+
+    monkeypatch.setattr(pl, "_pair_pose", fake)
+    monkeypatch.setattr(pl, "_pnp_pose", lambda *a, **k: None)
+    with pytest.warns(RuntimeWarning, match="unreliable"):
+        pl.chain_with_scale(matches, frames, K)
+
+
 def test_model_match_fn_smoke(rng, tmp_path):
     """model_match_fn drives the real matcher surface (tiny images, random
     init, thr=0): returns pixel-coord arrays of matching lengths."""
