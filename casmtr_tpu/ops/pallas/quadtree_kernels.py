@@ -80,14 +80,27 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
 )
 
 
-def _membership_bias(ids, Lb: int):
-    """[TP, K] candidate block ids -> additive bias [TP, Lb] (0 / -1e30)."""
-    TP, K = ids.shape
-    blk = jax.lax.broadcasted_iota(jnp.int32, (TP, Lb), 1)
-    hit = ids[:, 0:1] == blk
+def _membership_bias_xla(ids_bh, Lb: int):
+    """[B, H, P, K] candidate block ids -> additive bias [B, H, P, Lb]
+    (0 / -1e30), bf16.
+
+    Built ONCE per kernel call in XLA and fed to the kernels as an input —
+    r1-r4 rebuilt it inside BOTH the forward and the backward kernel (K
+    iota-compares + ors over every [rows, Lb] tile, the kernels' dominant
+    VPU cost per PERF.md); the bf16 HBM round-trip (~0.5 MB per grid step,
+    DMA-overlapped) is far cheaper than 2K VPU ops/element twice.  bf16
+    holds -1e30 exactly enough (-1.0038e30): anything <= -1e29 underflows
+    identically in exp2(s - m).
+
+    Built as a K-step fused elementwise chain over [B, H, P, Lb] (like the
+    old in-kernel loop) — the (ids[..., None] == iota).any(k) form makes XLA
+    materialize the 5D broadcast through HBM (~0.4 ms at the 88^2 level)."""
+    K = ids_bh.shape[3]
+    blk = jax.lax.broadcasted_iota(jnp.int32, ids_bh.shape[:3] + (Lb,), 3)
+    hit = ids_bh[..., 0:1] == blk
     for t in range(1, K):
-        hit = jnp.logical_or(hit, ids[:, t:t+1] == blk)
-    return jnp.where(hit, 0.0, _NEG).astype(jnp.float32)
+        hit = jnp.logical_or(hit, ids_bh[..., t:t + 1] == blk)
+    return jnp.where(hit, 0.0, _NEG).astype(jnp.bfloat16)
 
 
 def _build_scores(q_c, k_ref, bias, s_scr, scale: float):
@@ -102,7 +115,7 @@ def _build_scores(q_c, k_ref, bias, s_scr, scale: float):
         s_scr[j] = (s + bias) if scale == 1.0 else (s * scale + bias)
 
 
-def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
+def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
                 scale: float, Lb: int, n_topk: int, ts_ref=None, ti_ref=None):
     """One [_TP parents x all keys] tile: scores -> softmax -> (top-k) -> PV.
 
@@ -111,9 +124,11 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
     P @ V matmul runs with p cast to the value dtype so a bf16 model pays a
     single MXU pass instead of an emulated-f32 multi-pass.  The per-row
     BASE-2 logsumexp is written out so the backward skips the max and
-    normalizer passes entirely (flash-style LSE residual).
+    normalizer passes entirely (flash-style LSE residual).  The membership
+    bias arrives precomputed (bf16, _membership_bias_xla) instead of being
+    rebuilt from ids here — one upcast instead of 2K compare/or passes.
     """
-    bias = _membership_bias(ids_ref[0, 0], Lb)
+    bias = bias_ref[0, 0].astype(jnp.float32)
     vdt = v_ref.dtype
     if n_topk:
         hit = bias == 0.0
@@ -160,28 +175,33 @@ def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr, *,
                                      jnp.float32(-2.0), s_scr[j])
 
 
-def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
+def _bwd_kernel(bias_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, s_scr, *, score_scale: float,
-                grad_scale: float, q_unscale: float, Lb: int):
+                q_unscale: float, Lb: int):
     """Flash-style backward: one score pass into the [4, _TP, Lb] scratch
     (re-used as the A scratch — ~4 MiB at Lb = (88/2)^2, well inside the
     raised vmem budget); the saved BASE-2 LSE residual normalizes directly
     (A = exp2(s2 - lse2)) so there is no max or normalizer pass, and
     delta = rowsum(dO * O) from the saved forward output replaces the dP
     pass.  Each child costs 4 score + 4 dP + 12 gradient matmuls and a
-    single exp2 sweep.
+    single exp2 sweep.  The membership bias arrives precomputed (the
+    forward's residual) — no rebuild.  The MATH softmax scale (D^-1/2) of
+    dS = A * (dP - delta) * grad_scale is folded into the INCOMING g by the
+    caller (dP and delta both scale linearly in g), which makes dQ and dK
+    come out right and dV come out scaled by grad_scale — the caller
+    unscales dV once outside ([Lk, D], ~free) instead of this kernel
+    multiplying every [_TP, Lb] dS tile.
 
     ``score_scale`` is the base-2 score scale fed to _build_scores (1.0 when
-    q was pre-scaled); ``grad_scale`` is the MATH softmax scale (D^-1/2) in
-    dS = A * (dP - delta) * grad_scale; ``q_unscale`` restores the original
-    q for the dK matmul when q was pre-scaled (dK = dS^T q_orig)."""
+    q was pre-scaled); ``q_unscale`` restores the original q for the dK
+    matmul when q was pre-scaled (dK = dS^T q_orig)."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         for j in range(4):
             dk_ref[0, 0, j] = jnp.zeros(dk_ref.shape[-2:], jnp.float32)
             dv_ref[0, 0, j] = jnp.zeros(dv_ref.shape[-2:], jnp.float32)
 
-    bias = _membership_bias(ids_ref[0, 0], Lb)
+    bias = bias_ref[0, 0].astype(jnp.float32)
     kdt = k_ref.dtype
 
     def dp(g_c, j):
@@ -211,7 +231,7 @@ def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, g_ref, o_ref, lse_ref,
         dq_acc = jnp.zeros((_TP, q_ref.shape[-1]), jnp.float32)
         for j in range(4):
             a_j = s_scr[j]
-            ds_j = ((a_j * (dp(g_c, j) - delta) * grad_scale)).astype(kdt)
+            ds_j = (a_j * (dp(g_c, j) - delta)).astype(kdt)
             a_j = a_j.astype(kdt)
             dq_acc = dq_acc + jax.lax.dot_general(
                 ds_j, k_ref[0, 0, j],
@@ -248,10 +268,10 @@ def _pad_parents(x, axis: int, p_pad: int):
     return jnp.pad(x, pads)
 
 
-def _specs(B, H, P_pad, D, Lb, KX):
+def _specs(B, H, P_pad, D, Lb):
     in_specs = [
-        pl.BlockSpec((1, 1, _TP, KX), lambda b, h, p: (b, h, p, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, _TP, Lb), lambda b, h, p: (b, h, p, 0),
+                     memory_space=pltpu.VMEM),            # bias (bf16)
         pl.BlockSpec((1, 1, 4, _TP, D), lambda b, h, p: (b, h, 0, p, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
@@ -264,14 +284,13 @@ def _specs(B, H, P_pad, D, Lb, KX):
     return in_specs, msg_spec
 
 
-def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
+def _fwd_call(q_cm, k_cm, v_cm, bias_bh, n_topk: int, interpret: bool):
     B, H, _, P_pad, D = q_cm.shape
     Lb = k_cm.shape[3]
-    KX = ids_bh.shape[-1]
     # base-2 score scale; 1.0 when q was pre-scaled in _prepare
     scale = 1.0 if _PRESCALE else D ** -0.5 * _LOG2E
     grid = (B, H, P_pad // _TP)
-    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
+    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb)
     lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
                             memory_space=pltpu.VMEM)
     lse_shape = jax.ShapeDtypeStruct((B, H, 4, P_pad, 8), jnp.float32)
@@ -287,12 +306,12 @@ def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
             ),
             scratch_shapes=scratch, interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
-        )(ids_bh, q_cm, k_cm, v_cm)
+        )(bias_bh, q_cm, k_cm, v_cm)
         return msg, lse, None, None
 
-    def kern(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, ts_ref, ti_ref,
+    def kern(bias_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, ts_ref, ti_ref,
              s_scr):
-        _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr,
+        _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, msg_ref, lse_ref, s_scr,
                     scale=scale, Lb=Lb, n_topk=n_topk, ts_ref=ts_ref,
                     ti_ref=ti_ref)
 
@@ -310,26 +329,27 @@ def _fwd_call(q_cm, k_cm, v_cm, ids_bh, n_topk: int, interpret: bool):
         ),
         scratch_shapes=scratch, interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(ids_bh, q_cm, k_cm, v_cm)
+    )(bias_bh, q_cm, k_cm, v_cm)
     return msg, lse, ts, ti
 
 
-def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
+def _bwd_call(q_cm, k_cm, v_cm, bias_bh, g_cm, o_cm, lse, interpret: bool):
+    """g_cm must arrive PRE-SCALED by the math softmax scale D^-1/2; the
+    returned dv is scaled by it too (caller unscales once — see
+    _bwd_kernel docstring)."""
     B, H, _, P_pad, D = q_cm.shape
     Lb = k_cm.shape[3]
-    KX = ids_bh.shape[-1]
     score_scale = 1.0 if _PRESCALE else D ** -0.5 * _LOG2E
     q_unscale = 1.0 / (D ** -0.5 * _LOG2E) if _PRESCALE else 1.0
     grid = (B, H, P_pad // _TP)
-    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb, KX)
+    in_specs, msg_spec = _specs(B, H, P_pad, D, Lb)
     lse_spec = pl.BlockSpec((1, 1, 4, _TP, 8), lambda b, h, p: (b, h, 0, p, 0),
                             memory_space=pltpu.VMEM)
     in_specs = in_specs + [msg_spec, msg_spec, lse_spec]  # g, o, lse
     kv_spec = pl.BlockSpec((1, 1, 4, Lb, D), lambda b, h, p: (b, h, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     kern = functools.partial(_bwd_kernel, score_scale=score_scale,
-                             grad_scale=D ** -0.5, q_unscale=q_unscale,
-                             Lb=Lb)
+                             q_unscale=q_unscale, Lb=Lb)
     dq, dk, dv = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(msg_spec, kv_spec, kv_spec),
@@ -340,7 +360,7 @@ def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
         ),
         scratch_shapes=[pltpu.VMEM((4, _TP, Lb), jnp.float32)],
         interpret=interpret, compiler_params=_COMPILER_PARAMS,
-    )(ids_bh, q_cm, k_cm, v_cm, g_cm, o_cm, lse)
+    )(bias_bh, q_cm, k_cm, v_cm, g_cm, o_cm, lse)
     return dq, dk, dv
 
 
@@ -348,7 +368,9 @@ def _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm, lse, interpret: bool):
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-def _prepare(q, k, v, topk_idx_prev, hw_q, hw_k):
+def _layouts(q, k, v, hw_q, hw_k):
+    """Kernel-layout transforms only (no bias): q child-blocked + padded,
+    k/v child-major."""
     from casmtr_tpu.ops.quadtree import block_children
     h0, w0 = hw_q
     h1, w1 = hw_k
@@ -364,8 +386,16 @@ def _prepare(q, k, v, topk_idx_prev, hw_q, hw_k):
     q_cm = _pad_parents(q_cm, 3, P_pad)
     k_cm = _to_child_major(k, h1, w1)
     v_cm = _to_child_major(v, h1, w1)
+    return q_cm, k_cm, v_cm, P
+
+
+def _prepare(q, k, v, topk_idx_prev, hw_q, hw_k):
+    q_cm, k_cm, v_cm, P = _layouts(q, k, v, hw_q, hw_k)
+    P_pad = q_cm.shape[3]
+    Lb = k_cm.shape[3]
     ids_bh = _pad_parents(topk_idx_prev.transpose(0, 3, 1, 2), 2, P_pad)
-    return q_cm, k_cm, v_cm, ids_bh.astype(jnp.int32), P
+    bias_bh = _membership_bias_xla(ids_bh.astype(jnp.int32), Lb)
+    return q_cm, k_cm, v_cm, bias_bh, P
 
 
 def _msg_out(msg, P):
@@ -374,32 +404,37 @@ def _msg_out(msg, P):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _message(q, k, v, topk_idx_prev, hw_q, hw_k, interpret=False):
-    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, _, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
+    q_cm, k_cm, v_cm, bias_bh, P = _prepare(q, k, v, topk_idx_prev,
+                                            hw_q, hw_k)
+    msg, _, _, _ = _fwd_call(q_cm, k_cm, v_cm, bias_bh, 0, interpret)
     return _msg_out(msg, P)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _message_topk(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret=False):
-    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, _, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
+    q_cm, k_cm, v_cm, bias_bh, P = _prepare(q, k, v, topk_idx_prev,
+                                            hw_q, hw_k)
+    msg, _, ts, ti = _fwd_call(q_cm, k_cm, v_cm, bias_bh, topk, interpret)
     return _msg_out(msg, P), ts[:, :, :, :P], ti[:, :, :, :P]
 
 
-def _shared_bwd(q, k, v, topk_idx_prev, msg, lse, hw_q, hw_k, interpret,
-                g_msg):
-    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    # cotangent back to kernel layout, zero-padded parents; model dtype so the
+def _shared_bwd(q, k, v, bias_bh, msg, lse, hw_q, hw_k, interpret, g_msg):
+    """bias_bh rides in as the FORWARD's residual — the backward never
+    rebuilds the membership (r1-r4 re-ran the K compare/or passes here)."""
+    q_cm, k_cm, v_cm, P = _layouts(q, k, v, hw_q, hw_k)
+    B, Lq, H, D = q.shape
+    # cotangent back to kernel layout, zero-padded parents, PRE-SCALED by
+    # the math softmax scale (see _bwd_kernel docstring); model dtype so the
     # dP / dV matmuls stay single-pass on the MXU (f32 acc regardless).
-    g_cm = _pad_parents(g_msg.transpose(0, 3, 2, 1, 4).astype(q.dtype),
-                        3, q_cm.shape[3])
+    g_cm = _pad_parents(
+        (g_msg * jnp.float32(D ** -0.5)).transpose(0, 3, 2, 1, 4)
+        .astype(q.dtype), 3, q_cm.shape[3])
     # forward output (residual) in kernel layout: delta = rowsum(dO * O)
     o_cm = _pad_parents(msg.transpose(0, 3, 2, 1, 4), 3, q_cm.shape[3])
-    dq_cm, dk_cm, dv_cm = _bwd_call(q_cm, k_cm, v_cm, ids_bh, g_cm, o_cm,
+    dq_cm, dk_cm, dv_cm = _bwd_call(q_cm, k_cm, v_cm, bias_bh, g_cm, o_cm,
                                     lse, interpret)
     h0, w0 = hw_q
     h1, w1 = hw_k
-    B, Lq, H, D = q.shape
     from casmtr_tpu.ops.quadtree import unblock_children
     dq = unblock_children(dq_cm[:, :, :, :P].transpose(0, 3, 2, 1, 4),
                           h0 // 2, w0 // 2).astype(q.dtype)
@@ -410,15 +445,17 @@ def _shared_bwd(q, k, v, topk_idx_prev, msg, lse, hw_q, hw_k, interpret,
         return xb.reshape(B, h1 * w1, H, D)
 
     dk = from_cm(dk_cm).astype(k.dtype)
-    dv = from_cm(dv_cm).astype(v.dtype)
+    # dv came out scaled by D^-0.5 (g was pre-scaled); unscale once here
+    dv = from_cm(dv_cm * jnp.float32(D ** 0.5)).astype(v.dtype)
     return dq, dk, dv, None
 
 
 def _message_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, interpret):
-    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, lse, _, _ = _fwd_call(q_cm, k_cm, v_cm, ids_bh, 0, interpret)
+    q_cm, k_cm, v_cm, bias_bh, P = _prepare(q, k, v, topk_idx_prev,
+                                            hw_q, hw_k)
+    msg, lse, _, _ = _fwd_call(q_cm, k_cm, v_cm, bias_bh, 0, interpret)
     out = _msg_out(msg, P)
-    return out, (q, k, v, topk_idx_prev, out, lse)
+    return out, (q, k, v, bias_bh, out, lse)
 
 
 def _message_bwd(hw_q, hw_k, interpret, res, g):
@@ -429,10 +466,11 @@ _message.defvjp(_message_fwd, _message_bwd)
 
 
 def _message_topk_fwd(q, k, v, topk_idx_prev, hw_q, hw_k, topk, interpret):
-    q_cm, k_cm, v_cm, ids_bh, P = _prepare(q, k, v, topk_idx_prev, hw_q, hw_k)
-    msg, lse, ts, ti = _fwd_call(q_cm, k_cm, v_cm, ids_bh, topk, interpret)
+    q_cm, k_cm, v_cm, bias_bh, P = _prepare(q, k, v, topk_idx_prev,
+                                            hw_q, hw_k)
+    msg, lse, ts, ti = _fwd_call(q_cm, k_cm, v_cm, bias_bh, topk, interpret)
     out = (_msg_out(msg, P), ts[:, :, :, :P], ti[:, :, :, :P])
-    return out, (q, k, v, topk_idx_prev, out[0], lse)
+    return out, (q, k, v, bias_bh, out[0], lse)
 
 
 def _message_topk_bwd(hw_q, hw_k, topk, interpret, res, g):

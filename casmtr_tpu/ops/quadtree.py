@@ -254,24 +254,64 @@ def _dense_masked_select(q, k, topk_idx_prev, topk: int,
     return ts, flat
 
 
+def onehot_block_gather(table: jnp.ndarray, parent_idx: jnp.ndarray,
+                        n_children: int = 4) -> jnp.ndarray:
+    """`block_gather` as a one-hot MXU matmul (identical result).
+
+    TPU row gathers are descriptor-bound (~23 M desc/s, collapsing further
+    with batch — PERF.md); for the SMALL tables of the quadtree selection
+    (Lb <= ~2k) the same lookup runs ~10x faster as
+    ``onehot(idx) @ table`` per (batch, head): the one-hot has exactly one
+    1.0 per row, so the f32-accumulated product is the table row BIT-EXACTLY
+    (all other terms are 0 * x == 0), and the [P*K, Lb] @ [Lb, n*D] matmul
+    shape tiles cleanly onto the MXU.  Cost is the one-hot materialization
+    (B*P*K*H*Lb bf16 through HBM) — callers gate on that size.
+
+    Measured (scripts/tpu_select_bench.py, v5e): 44^2-level selection
+    5.44 -> ~0.6 ms/layer in the 704^2 train step.
+
+    table: [B, Lb, H, n_children*D]; parent_idx: [B, P, K, H] int32.
+    Returns [B, P, K, H, n_children, D] like block_gather."""
+    B, Lb, H, FD = table.shape
+    P, K = parent_idx.shape[1], parent_idx.shape[2]
+    D = FD // n_children
+    blk = jnp.arange(Lb, dtype=parent_idx.dtype)
+    oh = (parent_idx[..., None] == blk).astype(table.dtype)  # [B,P,K,H,Lb]
+    out = jnp.einsum("bpkhl,blhf->bpkhf", oh, table,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, P, K, H, n_children, D).astype(table.dtype)
+
+
 def _gather_masked_select(q, k, topk_idx_prev, topk: int,
                           hw_q: Tuple[int, int], hw_k: Tuple[int, int]):
     """Candidate top-k via the gathered-candidate path (forward-only).
 
-    The original split-top-k selection: block-gather the K candidate key
-    blocks per (parent, head), einsum against the query block, softmax over
-    the 4K candidates, exact top-k.  Descriptor-bound on TPU (23 M desc/s
-    b1, collapsing to 14 M/s at eval b4 — PERF.md); kept as the fallback
-    and the parity oracle for the dense selections.
+    The original split-top-k selection: fetch the K candidate key blocks
+    per (parent, head), einsum against the query block, softmax over the
+    4K candidates, exact top-k.  The fetch runs as a one-hot MXU matmul
+    (onehot_block_gather) when the one-hot fits a memory gate — the
+    take_along_axis realization is descriptor-bound on TPU (23 M desc/s
+    b1, collapsing to 14 M/s at eval b4: 5.44 ms/layer in the 704^2 train
+    step, 48 ms/layer at eval b4 — PERF.md); CASMTR_SELECT_ONEHOT=0
+    forces the gather.
 
     Returns (topk_score, topk_idx) unblocked to [B, Lq, topk, H]."""
+    import os
     h0, w0 = hw_q
     h1, w1 = hw_k
     B, Lq, H, D = q.shape
     K_prev = topk_idx_prev.shape[2]
     qb = block_children(q, h0, w0)                       # [B, P, 4, H, D]
-    k_g = block_gather(to_block_major(k, h1, w1), topk_idx_prev,
-                       n_children=4)                     # [B,P,K,H,4,D]
+    table = to_block_major(k, h1, w1)                    # [B, Lb, H, 4D]
+    Lb = table.shape[1]
+    onehot_bytes = B * (Lq // 4) * K_prev * H * Lb * 2
+    use_onehot = (onehot_bytes <= int(2e9)
+                  and os.environ.get("CASMTR_SELECT_ONEHOT", "1") == "1")
+    if use_onehot:
+        k_g = onehot_block_gather(table, topk_idx_prev, n_children=4)
+    else:
+        k_g = block_gather(table, topk_idx_prev,
+                           n_children=4)                 # [B,P,K,H,4,D]
     qk = jnp.einsum("bpfhd,bpkhjd->bpfhkj", qb, k_g,
                     preferred_element_type=jnp.float32)
     P = qk.shape[1]

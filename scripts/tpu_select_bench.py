@@ -111,9 +111,15 @@ def sel_case(name, B, H, D, hw, K_prev, topk, seed=0):
     print(f"-- {name}: B={B} hw={hw} K_prev={K_prev} topk={topk} "
           f"(rows={B*Lq*H}, dense_W={4*Lb}, gather_W={4*K_prev})",
           flush=True)
+    import os
+    os.environ["CASMTR_SELECT_ONEHOT"] = "0"
     ms = timed_scan(lambda ii, qq, kk: _gather_masked_select(
         qq, kk, ii, topk, hw, hw), ids, q, k)
     print(f"   gather       : {ms:7.2f} ms", flush=True)
+    os.environ["CASMTR_SELECT_ONEHOT"] = "1"
+    ms = timed_scan(lambda ii, qq, kk: _gather_masked_select(
+        qq, kk, ii, topk, hw, hw), ids, q, k)
+    print(f"   onehot       : {ms:7.2f} ms", flush=True)
     ms = timed_scan(lambda ii, qq, kk: _dense_masked_select(
         qq, kk, ii, topk, hw, hw, chunk=None), ids, q, k)
     print(f"   dense (wide) : {ms:7.2f} ms", flush=True)

@@ -231,6 +231,21 @@ def test_dense_masked_select_matches_gather_selection(rng):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_onehot_block_gather_bitexact(rng):
+    """onehot_block_gather == block_gather BIT-exactly (the one-hot matmul
+    accumulates exactly one nonzero per row; 0 * x == 0 for finite x)."""
+    B, Lb, H, D = 2, 37, 4, 8
+    P, K = 10, 5
+    table = jnp.asarray(
+        rng.standard_normal((B, Lb, H, 4 * D)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, Lb, (B, P, K, H)), jnp.int32)
+    want = qt.block_gather(table, idx, n_children=4)
+    got = qt.onehot_block_gather(table, idx, n_children=4)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+
 def test_chunked_exact_topk_matches_topk(rng):
     """chunked_exact_topk == lax.top_k values/indices on distinct values,
     across chunk sizes that do and do not divide the width, and with rows
