@@ -318,9 +318,21 @@ def _gather_masked_select(q, k, topk_idx_prev, topk: int,
     qk = qk.reshape(B, P, 4, H, 4 * K_prev) * (D ** -0.5)
     A = jax.nn.softmax(qk, axis=-1)
     topk_score, topk_local = exact_topk(A, topk)         # [B, P, 4, H, k]
-    blk = jnp.take_along_axis(
-        jnp.swapaxes(topk_idx_prev, 2, 3)[:, :, None],   # [B, P, 1, H, K]
-        topk_local // 4, axis=4)                         # [B, P, 4, H, k]
+    if use_onehot:
+        # winner -> parent-block-id lookup over the TINY K axis as a fused
+        # one-hot select+sum (int32-exact): the take_along realization is
+        # B*P*4*H*topk single-int gather descriptors — measured 3.9 ms/layer
+        # in the 704^2 train step (the dominant selection cost after the
+        # key fetch went one-hot).
+        sel = ((topk_local // 4)[..., None]
+               == jnp.arange(K_prev, dtype=topk_local.dtype))
+        ids_bh = jnp.swapaxes(topk_idx_prev, 2, 3)       # [B, P, H, K]
+        blk = jnp.sum(jnp.where(sel, ids_bh[:, :, None, :, None, :], 0),
+                      axis=-1)                           # [B, P, 4, H, k]
+    else:
+        blk = jnp.take_along_axis(
+            jnp.swapaxes(topk_idx_prev, 2, 3)[:, :, None],  # [B, P, 1, H, K]
+            topk_local // 4, axis=4)                     # [B, P, 4, H, k]
     child = topk_local % 4
     rows = (blk // (w1 // 2)) * 2 + child // 2
     cols = (blk % (w1 // 2)) * 2 + child % 2

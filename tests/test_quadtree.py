@@ -231,6 +231,34 @@ def test_dense_masked_select_matches_gather_selection(rng):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_gather_masked_select_modes_match_full_path(rng, monkeypatch):
+    """_gather_masked_select (the TPU split-top-k selection), in BOTH its
+    one-hot and take_along realizations, returns the same indices and
+    softmax scores as the full gather path of _fine_level_b."""
+    B, H, D = 2, 4, 16
+    h0 = w0 = h1 = w1 = 8
+    K, topk = 3, 5
+    Lq = h0 * w0
+    P = Lq // 4
+    Lb = (h1 // 2) * (w1 // 2)
+    q = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Lq, H, D)), jnp.float32)
+    ids = np.stack([rng.choice(Lb, K, replace=False)
+                    for _ in range(B * P * H)])
+    ids = jnp.asarray(ids.reshape(B, P, H, K).transpose(0, 1, 3, 2),
+                      jnp.int32)
+    _, _, ts_g, ti_g = qt._fine_level_b(q, k, v, ids, topk, (h0, w0),
+                                        (h1, w1), w1 // 2, need_topk=True)
+    for flag in ("1", "0"):
+        monkeypatch.setenv("CASMTR_SELECT_ONEHOT", flag)
+        ts, ti = qt._gather_masked_select(q, k, ids, topk, (h0, w0),
+                                          (h1, w1))
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ti_g))
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(ts_g),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_onehot_block_gather_bitexact(rng):
     """onehot_block_gather == block_gather BIT-exactly (the one-hot matmul
     accumulates exactly one nonzero per row; 0 * x == 0 for finite x)."""
