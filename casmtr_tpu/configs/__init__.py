@@ -246,10 +246,30 @@ SCANNET_TRAINVAL = {
     "trainer": {"epi_err_thr": 5e-4},
 }
 
+# The PUBLISHED indoor recipe is internally inconsistent — BLOCK_DIMS[1]=196
+# feeds the 1/4 cascade stage whose d_model is 128, so the reference's own
+# forward crashes the moment stage >= 2 activates it (see
+# tests/test_ref_parity.py::test_ref_full_tree_indoor_4c).  This variant is
+# the unique dims assignment that keeps every module of the recipe alive and
+# shape-consistent; everything else is identical.  Verified training
+# end-to-end on device (docs/evidence_r5/indoor*.log).
+INDOOR_CASMTR_4C_RUNNABLE = {
+    "loftr": {
+        **INDOOR_CASMTR_4C["loftr"],
+        "backbone": {
+            **INDOOR_CASMTR_4C["loftr"]["backbone"],
+            "initial_dim": 64,
+            "block_dims": [64, 128, 256],
+        },
+    },
+    "trainer": INDOOR_CASMTR_4C["trainer"],
+}
+
 MODEL_RECIPES = {
     "outdoor_casmtr_4c": OUTDOOR_CASMTR_4C,
     "outdoor_casmtr_2c": OUTDOOR_CASMTR_2C,
     "indoor_casmtr_4c": INDOOR_CASMTR_4C,
+    "indoor_casmtr_4c_runnable": INDOOR_CASMTR_4C_RUNNABLE,
     "quadtree_baseline": QUADTREE_BASELINE,
 }
 

@@ -374,7 +374,7 @@ class CasMTR(nn.Module):
                     fine_feat0, fine_feat1, fine_ctx0, fine_ctx1,
                     fine_level_matches, fine_hw_c0, fine_hw_c1)
             ff0, ff1 = LocalFeatureTransformer(
-                cfg.fine, ts // 2, name="loftr_fine")(
+                cfg.fine, ts // 2, remat=cfg.remat, name="loftr_fine")(
                     ff0, ff1, (Wf, Wf), (Wf, Wf))
             fr = fm.fine_match(ff0, ff1)
             s1 = (scale1[fine_level_matches.b_ids]

@@ -197,7 +197,7 @@ class CasMTRRefine(nn.Module):
                 name="cas_fine_preprocess")(
                     feat_f0, feat_f1, t4_0, t4_1, matches_4c, hw0_4c, hw1_4c)
             ff0, ff1 = LocalFeatureTransformer(
-                cfg.fine, ts // 2, name="cas_loftr_fine")(
+                cfg.fine, ts // 2, remat=cfg.remat, name="cas_loftr_fine")(
                     ff0, ff1, (Wf, Wf), (Wf, Wf))
             fr = fm.fine_match(ff0, ff1)
             s1 = scale1[matches_4c.b_ids] if scale1 is not None else None

@@ -96,7 +96,7 @@ class QuadtreeLoFTR(nn.Module):
             cat_c_feat=cfg.fine_concat_coarse_feat, name="fine_preprocess")(
                 feat_f0, feat_f1, f0, f1, coarse_matches, hc0, hc1)
         ff0, ff1 = LocalFeatureTransformer(
-            cfg.fine, ts // 2, name="loftr_fine")(
+            cfg.fine, ts // 2, remat=cfg.remat, name="loftr_fine")(
                 ff0, ff1, (W, W), (W, W))
         fr = fm.fine_match(ff0, ff1)
         s1 = scale1[coarse_matches.b_ids] if scale1 is not None else None
