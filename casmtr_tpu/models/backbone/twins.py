@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from casmtr_tpu.models.backbone.resnet_fpn import (
-    batch_norm, conv1x1, conv3x3, _KAIMING)
+    backbone_dtype, batch_norm, conv1x1, conv3x3, _KAIMING)
 from casmtr_tpu.models.cascade_attention import GroupBlock
 from casmtr_tpu.ops.image_ops import resize_bilinear_align_corners
 
@@ -43,16 +43,17 @@ class PatchEmbed(nn.Module):
     """Strided-conv patch embedding + LayerNorm (reference gvt.py:256-281)."""
     embed_dim: int
     patch_size: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
-                    name="proj")(x)
+                    name="proj", dtype=self.dtype)(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         # torch nn.LayerNorm default eps (gvt.py:272 doesn't override it)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         return x, (H, W)
 
 
@@ -60,13 +61,15 @@ class PosCNN(nn.Module):
     """Conditional position encoding: depthwise 3x3 conv + residual
     (reference gvt.py:397-416)."""
     embed_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         B, N, C = x.shape
         xi = x.reshape(B, h, w, C)
         y = nn.Conv(self.embed_dim, (3, 3), padding=1,
-                    feature_group_count=self.embed_dim, name="proj_0")(xi)
+                    feature_group_count=self.embed_dim, name="proj_0",
+                    dtype=self.dtype)(xi)
         return (y + xi).reshape(B, N, C)
 
 
@@ -85,21 +88,24 @@ class TwinsSVT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         preset = TWINS_PRESETS[self.model_type]
+        cdt = backbone_dtype()
         outputs = []
         for i in range(self.n_stages):
             dim = preset["embed_dims"][i]
             patch = 4 if i == 0 else 2
-            x, (H, W) = PatchEmbed(dim, patch, name=f"patch_embeds_{i}")(x)
+            x, (H, W) = PatchEmbed(dim, patch, name=f"patch_embeds_{i}",
+                                   dtype=cdt)(x)
             depth = self.stage3_depth if i == 2 else preset["depths"][i]
             for j in range(depth):
                 ws = 1 if j % 2 == 1 else preset["wss"][i]
                 x = GroupBlock(dim, preset["num_heads"][i], mlp_ratio=4.0,
                                sr_ratio=preset["sr_ratios"][i], ws=ws,
                                qkv_bias=True, ln_eps=_LN_EPS,
-                               name=f"blocks_{i}_{j}")(x, H, W)
+                               name=f"blocks_{i}_{j}", dtype=cdt)(x, H, W)
                 if j == 0:
-                    x = PosCNN(dim, name=f"pos_block_{i}")(x, H, W)
-            x = nn.LayerNorm(epsilon=_LN_EPS, name=f"norm_list_{i}")(x)
+                    x = PosCNN(dim, name=f"pos_block_{i}", dtype=cdt)(x, H, W)
+            x = nn.LayerNorm(epsilon=_LN_EPS, name=f"norm_list_{i}",
+                             dtype=cdt)(x)
             x = x.reshape(x.shape[0], H, W, dim)
             outputs.append(x)
         return outputs
@@ -114,15 +120,18 @@ class FPNBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.relu(batch_norm(train, "bn1")(
-            conv3x3(self.planes, self.stride, "conv1")(x)))
-        y = batch_norm(train, "bn2")(conv3x3(self.planes, 1, "conv2")(y))
+        cdt = backbone_dtype()
+        x = x.astype(cdt)
+        y = nn.relu(batch_norm(train, "bn1", cdt)(
+            conv3x3(self.planes, self.stride, "conv1", cdt)(x)))
+        y = batch_norm(train, "bn2", cdt)(
+            conv3x3(self.planes, 1, "conv2", cdt)(y))
         if self.stride != 1:
-            x = batch_norm(train, "downsample_1")(
-                conv1x1(self.planes, self.stride, "downsample_0")(x))
+            x = batch_norm(train, "downsample_1", cdt)(
+                conv1x1(self.planes, self.stride, "downsample_0", cdt)(x))
         if self.in_planes != self.planes:
-            x = batch_norm(train, "shortcut_1")(
-                conv1x1(self.planes, 1, "shortcut_0")(x))
+            x = batch_norm(train, "shortcut_1", cdt)(
+                conv1x1(self.planes, 1, "shortcut_0", cdt)(x))
         return nn.relu(x + y)
 
 
@@ -145,12 +154,14 @@ class TwinsFPN_8_4_2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bd = self.block_dims
+        cdt = backbone_dtype()
         x = (x - _IMAGENET_MEAN.astype(x.dtype)) / _IMAGENET_STD.astype(x.dtype)
 
         # 1/2 conv stem
         s = nn.Conv(bd[0] // 2, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, kernel_init=_KAIMING, name="conv1_0")(x)
-        s = nn.relu(batch_norm(train, "conv1_1")(s))
+                    use_bias=False, kernel_init=_KAIMING, name="conv1_0",
+                    dtype=cdt)(x)
+        s = nn.relu(batch_norm(train, "conv1_1", cdt)(s))
         s = FPNBasicBlock(bd[0], bd[0] // 2, 1, name="layer1_0")(s, train)
         x1 = FPNBasicBlock(bd[0], bd[0], 1, name="layer1_1")(s, train)
 
@@ -158,27 +169,28 @@ class TwinsFPN_8_4_2(nn.Module):
         x2, x3 = TwinsSVT(self.model_type, 2, name="vit")(x, train=train)
 
         # FPN fusion
-        x3_out = batch_norm(train, "layer3_outconv_1")(
-            conv1x1(bd[2], 1, "layer3_outconv_0")(x3))
+        x3_out = batch_norm(train, "layer3_outconv_1", cdt)(
+            conv1x1(bd[2], 1, "layer3_outconv_0", cdt)(x3))
         x3_2x = resize_bilinear_align_corners(x3_out, x2.shape[1], x2.shape[2])
-        x2_out = batch_norm(train, "layer2_outconv_1")(
-            conv1x1(bd[2], 1, "layer2_outconv_0")(x2))
-        y = conv3x3(bd[2], 1, "layer2_outconv2_0")(x2_out + x3_2x)
-        y = nn.leaky_relu(batch_norm(train, "layer2_outconv2_1")(y),
+        x2_out = batch_norm(train, "layer2_outconv_1", cdt)(
+            conv1x1(bd[2], 1, "layer2_outconv_0", cdt)(x2))
+        y = conv3x3(bd[2], 1, "layer2_outconv2_0", cdt)(x2_out + x3_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer2_outconv2_1", cdt)(y),
                           negative_slope=0.01)
-        x2_out = batch_norm(train, "layer2_outconv2_4")(
-            conv3x3(bd[1], 1, "layer2_outconv2_3")(y))
+        x2_out = batch_norm(train, "layer2_outconv2_4", cdt)(
+            conv3x3(bd[1], 1, "layer2_outconv2_3", cdt)(y))
 
         x2_2x = resize_bilinear_align_corners(x2_out, x1.shape[1], x1.shape[2])
-        x1_out = batch_norm(train, "layer1_outconv_1")(
-            conv1x1(bd[1], 1, "layer1_outconv_0")(x1))
-        y = conv3x3(bd[1], 1, "layer1_outconv2_0")(x1_out + x2_2x)
-        y = nn.leaky_relu(batch_norm(train, "layer1_outconv2_1")(y),
+        x1_out = batch_norm(train, "layer1_outconv_1", cdt)(
+            conv1x1(bd[1], 1, "layer1_outconv_0", cdt)(x1))
+        y = conv3x3(bd[1], 1, "layer1_outconv2_0", cdt)(x1_out + x2_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer1_outconv2_1", cdt)(y),
                           negative_slope=0.01)
-        x1_out = batch_norm(train, "layer1_outconv2_4")(
-            conv3x3(bd[0], 1, "layer1_outconv2_3")(y))
+        x1_out = batch_norm(train, "layer1_outconv2_4", cdt)(
+            conv3x3(bd[0], 1, "layer1_outconv2_3", cdt)(y))
 
-        return [x3_out, x2_out, x1_out]
+        return [x3_out.astype(jnp.float32), x2_out.astype(jnp.float32),
+                x1_out.astype(jnp.float32)]
 
 
 class TwinsFPN_16_8_4_2(nn.Module):
@@ -191,43 +203,46 @@ class TwinsFPN_16_8_4_2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bd = self.block_dims
+        cdt = backbone_dtype()
         x = (x - _IMAGENET_MEAN.astype(x.dtype)) / _IMAGENET_STD.astype(x.dtype)
 
         s = nn.Conv(bd[0] // 2, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, kernel_init=_KAIMING, name="conv1_0")(x)
-        s = nn.relu(batch_norm(train, "conv1_1")(s))
+                    use_bias=False, kernel_init=_KAIMING, name="conv1_0",
+                    dtype=cdt)(x)
+        s = nn.relu(batch_norm(train, "conv1_1", cdt)(s))
         s = FPNBasicBlock(bd[0], bd[0] // 2, 1, name="layer1_0")(s, train)
         x1 = FPNBasicBlock(bd[0], bd[0], 1, name="layer1_1")(s, train)
 
         x2, x3, x4 = TwinsSVT(self.model_type, 3, name="vit")(x, train=train)
 
-        x4_out = batch_norm(train, "layer4_outconv_1")(
-            conv1x1(bd[3], 1, "layer4_outconv_0")(x4))
+        x4_out = batch_norm(train, "layer4_outconv_1", cdt)(
+            conv1x1(bd[3], 1, "layer4_outconv_0", cdt)(x4))
         x4_2x = resize_bilinear_align_corners(x4_out, x3.shape[1], x3.shape[2])
-        x3_out = batch_norm(train, "layer3_outconv_1")(
-            conv1x1(bd[3], 1, "layer3_outconv_0")(x3))
-        y = conv3x3(bd[3], 1, "layer3_outconv2_0")(x3_out + x4_2x)
-        y = nn.leaky_relu(batch_norm(train, "layer3_outconv2_1")(y),
+        x3_out = batch_norm(train, "layer3_outconv_1", cdt)(
+            conv1x1(bd[3], 1, "layer3_outconv_0", cdt)(x3))
+        y = conv3x3(bd[3], 1, "layer3_outconv2_0", cdt)(x3_out + x4_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer3_outconv2_1", cdt)(y),
                           negative_slope=0.01)
-        x3_out = batch_norm(train, "layer3_outconv2_4")(
-            conv3x3(bd[2], 1, "layer3_outconv2_3")(y))
+        x3_out = batch_norm(train, "layer3_outconv2_4", cdt)(
+            conv3x3(bd[2], 1, "layer3_outconv2_3", cdt)(y))
 
         x3_2x = resize_bilinear_align_corners(x3_out, x2.shape[1], x2.shape[2])
-        x2_out = batch_norm(train, "layer2_outconv_1")(
-            conv1x1(bd[2], 1, "layer2_outconv_0")(x2))
-        y = conv3x3(bd[2], 1, "layer2_outconv2_0")(x2_out + x3_2x)
-        y = nn.leaky_relu(batch_norm(train, "layer2_outconv2_1")(y),
+        x2_out = batch_norm(train, "layer2_outconv_1", cdt)(
+            conv1x1(bd[2], 1, "layer2_outconv_0", cdt)(x2))
+        y = conv3x3(bd[2], 1, "layer2_outconv2_0", cdt)(x2_out + x3_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer2_outconv2_1", cdt)(y),
                           negative_slope=0.01)
-        x2_out = batch_norm(train, "layer2_outconv2_4")(
-            conv3x3(bd[1], 1, "layer2_outconv2_3")(y))
+        x2_out = batch_norm(train, "layer2_outconv2_4", cdt)(
+            conv3x3(bd[1], 1, "layer2_outconv2_3", cdt)(y))
 
         x2_2x = resize_bilinear_align_corners(x2_out, x1.shape[1], x1.shape[2])
-        x1_out = batch_norm(train, "layer1_outconv_1")(
-            conv1x1(bd[1], 1, "layer1_outconv_0")(x1))
-        y = conv3x3(bd[1], 1, "layer1_outconv2_0")(x1_out + x2_2x)
-        y = nn.leaky_relu(batch_norm(train, "layer1_outconv2_1")(y),
+        x1_out = batch_norm(train, "layer1_outconv_1", cdt)(
+            conv1x1(bd[1], 1, "layer1_outconv_0", cdt)(x1))
+        y = conv3x3(bd[1], 1, "layer1_outconv2_0", cdt)(x1_out + x2_2x)
+        y = nn.leaky_relu(batch_norm(train, "layer1_outconv2_1", cdt)(y),
                           negative_slope=0.01)
-        x1_out = batch_norm(train, "layer1_outconv2_4")(
-            conv3x3(bd[0], 1, "layer1_outconv2_3")(y))
+        x1_out = batch_norm(train, "layer1_outconv2_4", cdt)(
+            conv3x3(bd[0], 1, "layer1_outconv2_3", cdt)(y))
 
-        return [x4_out, x3_out, x2_out, x1_out]
+        return [x4_out.astype(jnp.float32), x3_out.astype(jnp.float32),
+                x2_out.astype(jnp.float32), x1_out.astype(jnp.float32)]

@@ -53,6 +53,7 @@ class GroupAttention(nn.Module):
     num_heads: int
     ws: int
     qkv_bias: bool = False
+    dtype: Optional[object] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
@@ -63,7 +64,7 @@ class GroupAttention(nn.Module):
         Hp, Wp = xi.shape[1:3]
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=_TRUNC,
-                       name="qkv")(xi)
+                       name="qkv", dtype=self.dtype)(xi)
         qkv = window_partition(qkv, self.ws)          # [B*nW, ws*ws, 3C]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         BW, WW, _ = q.shape
@@ -97,7 +98,8 @@ class GroupAttention(nn.Module):
         out = out.reshape(BW, WW, C)
         out = window_reverse(out, self.ws, Hp, Wp)
         out = out[:, :h, :w].reshape(B, N, C)
-        return nn.Dense(C, kernel_init=_TRUNC, name="proj")(out)
+        return nn.Dense(C, kernel_init=_TRUNC, name="proj",
+                        dtype=self.dtype)(out)
 
 
 class Attention(nn.Module):
@@ -108,26 +110,29 @@ class Attention(nn.Module):
     sr_ratio: int = 1
     qkv_bias: bool = False
     ln_eps: float = 1e-5
+    dtype: Optional[object] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         B, N, C = x.shape
         hd = C // self.num_heads
         q = nn.Dense(C, use_bias=self.qkv_bias, kernel_init=_TRUNC,
-                     name="q")(x).reshape(B, N, self.num_heads, hd)
+                     name="q", dtype=self.dtype)(
+                         x).reshape(B, N, self.num_heads, hd)
         if self.sr_ratio > 1:
             xi = x.reshape(B, h, w, C)
             # VALID: torch Conv2d(k=sr, stride=sr, padding=0) floors the grid
             # (flax default SAME would ceil and zero-pad the tail)
             xi = nn.Conv(C, (self.sr_ratio, self.sr_ratio),
                          strides=(self.sr_ratio, self.sr_ratio),
-                         padding="VALID", name="sr")(xi)
+                         padding="VALID", name="sr", dtype=self.dtype)(xi)
             xi = xi.reshape(B, -1, C)
-            xi = nn.LayerNorm(epsilon=self.ln_eps, name="norm")(xi)
+            xi = nn.LayerNorm(epsilon=self.ln_eps, name="norm",
+                              dtype=self.dtype)(xi)
         else:
             xi = x
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias, kernel_init=_TRUNC,
-                      name="kv")(xi)
+                      name="kv", dtype=self.dtype)(xi)
         k, v = jnp.split(kv, 2, axis=-1)
         k = k.reshape(B, -1, self.num_heads, hd)
         v = v.reshape(B, -1, self.num_heads, hd)
@@ -137,19 +142,23 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhls,bshd->blhd", attn.astype(v.dtype), v)
         out = out.reshape(B, N, C)
-        return nn.Dense(C, kernel_init=_TRUNC, name="proj")(out)
+        return nn.Dense(C, kernel_init=_TRUNC, name="proj",
+                        dtype=self.dtype)(out)
 
 
 class VITMlp(nn.Module):
     """Plain 2-layer MLP (reference cascade_attention.py:10-26)."""
     hidden: int
     out: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, kernel_init=_TRUNC, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC, name="fc1",
+                     dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, kernel_init=_TRUNC, name="fc2")(x)
+        return nn.Dense(self.out, kernel_init=_TRUNC, name="fc2",
+                        dtype=self.dtype)(x)
 
 
 class GroupBlock(nn.Module):
@@ -161,18 +170,26 @@ class GroupBlock(nn.Module):
     ws: int = 1
     qkv_bias: bool = False
     ln_eps: float = 1e-5
+    dtype: Optional[object] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         if self.ws == 1:
             attn = Attention(self.dim, self.num_heads, self.sr_ratio,
-                             qkv_bias=self.qkv_bias, name="attn")
+                             qkv_bias=self.qkv_bias, name="attn",
+                             dtype=self.dtype)
         else:
             attn = GroupAttention(self.dim, self.num_heads, self.ws,
-                                  qkv_bias=self.qkv_bias, name="attn")
-        x = x + attn(nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), h, w)
-        x = x + VITMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x))
+                                  qkv_bias=self.qkv_bias, name="attn",
+                                  dtype=self.dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = x + attn(nn.LayerNorm(epsilon=self.ln_eps, name="norm1",
+                                  dtype=self.dtype)(x), h, w)
+        x = x + VITMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp",
+                       dtype=self.dtype)(
+            nn.LayerNorm(epsilon=self.ln_eps, name="norm2",
+                         dtype=self.dtype)(x))
         return x
 
 
@@ -183,13 +200,15 @@ class DoubleGroupBlock(nn.Module):
     mlp_ratio: float = 4.0
     sr_ratio: int = 1
     ws: int = 1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         x = GroupBlock(self.dim, self.num_heads, self.mlp_ratio, 1, self.ws,
-                       name="block_local")(x, h, w)
+                       name="block_local", dtype=self.dtype)(x, h, w)
         x = GroupBlock(self.dim, self.num_heads, self.mlp_ratio,
-                       self.sr_ratio, 1, name="block_global")(x, h, w)
+                       self.sr_ratio, 1, name="block_global",
+                       dtype=self.dtype)(x, h, w)
         return x
 
 
@@ -199,11 +218,13 @@ class LocalBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     ws: int = 1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         return GroupBlock(self.dim, self.num_heads, self.mlp_ratio, 1,
-                          self.ws, name="block_local")(x, h, w)
+                          self.ws, name="block_local",
+                          dtype=self.dtype)(x, h, w)
 
 
 class LKA(nn.Module):

@@ -21,7 +21,8 @@ from casmtr_tpu.config import CascadeStageConfig
 from casmtr_tpu.models.cascade_attention import (
     DoubleGroupBlock, LKABlock, LocalBlock)
 from casmtr_tpu.models.pola import POLATransBlock
-from casmtr_tpu.models.transformer import LoFTREncoderLayer, Mlp, QuadtreeBlock
+from casmtr_tpu.models.transformer import (
+    LoFTREncoderLayer, Mlp, QuadtreeBlock, transformer_dtype)
 from casmtr_tpu.ops.propagation import get_propagations
 from casmtr_tpu.ops.quadtree import cascade_qtatt_b
 
@@ -87,14 +88,18 @@ class CascadeQuadtreeAttention(nn.Module):
     num_heads: int
     dilated: int = 1
     window_structured: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
         B, L, C = x.shape
         D = self.dim // self.num_heads
-        q = nn.Dense(self.dim, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(self.dim, use_bias=False, name="k_proj")(target)
-        v = nn.Dense(self.dim, use_bias=False, name="v_proj")(target)
+        q = nn.Dense(self.dim, use_bias=False, name="q_proj",
+                     dtype=self.dtype)(x)
+        k = nn.Dense(self.dim, use_bias=False, name="k_proj",
+                     dtype=self.dtype)(target)
+        v = nn.Dense(self.dim, use_bias=False, name="v_proj",
+                     dtype=self.dtype)(target)
         # bf16 gather tables on TPU (f32-accumulated contractions; the
         # reference runs under fp16 autocast)
         cdt = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
@@ -106,7 +111,8 @@ class CascadeQuadtreeAttention(nn.Module):
             q, k, v, idx, hw_x, hw_t, dilated=self.dilated, rel_pos=rel_pos,
             window_structured=self.window_structured)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)
-        return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg), up_idx
+        return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj",
+                        dtype=self.dtype)(msg), up_idx
 
 
 class CascadeQuadtreeBlock(nn.Module):
@@ -117,17 +123,24 @@ class CascadeQuadtreeBlock(nn.Module):
     dilated: int = 1
     mlp_ratio: float = 4.0
     window_structured: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, idx, rel_pos=None):
-        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            target = target.astype(self.dtype)
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)
         y, up_idx = CascadeQuadtreeAttention(
             self.dim, self.num_heads, self.dilated,
-            window_structured=self.window_structured, name="attn")(
+            window_structured=self.window_structured, name="attn",
+            dtype=self.dtype)(
                 norm1(x), norm1(target), hw_x, hw_t, idx, rel_pos)
         x = x + y
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp",
+                    dtype=self.dtype)(
+            nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x),
+            hw_x[0], hw_x[1])
         return x, up_idx
 
 
@@ -142,6 +155,9 @@ class CascadeFeatureTransformer(nn.Module):
         self.window, self.full_window = get_propagations(
             cfg.propagation, cfg.window_size, cfg.dilated)
         aws = cfg.attn_window_size or cfg.window_size
+        # compute dtype for the stack (bf16 on TPU, reference fp16 autocast);
+        # POLA/LKA blocks keep their own f32 internals (indoor zoo, small)
+        tdt = transformer_dtype()
         # remat each block (static_argnums count `self` as 0; the spatial-dim
         # arguments are python ints/tuples)
         if self.remat:
@@ -162,10 +178,10 @@ class CascadeFeatureTransformer(nn.Module):
                 if t == "local_global":
                     layers.append(dgb(
                         cfg.d_model, cfg.nhead, 4.0, cfg.sr_ratio, aws,
-                        name=f"layers_{li}"))
+                        dtype=tdt, name=f"layers_{li}"))
                 elif t == "local":
                     layers.append(lb(cfg.d_model, cfg.nhead, 4.0, aws,
-                                     name=f"layers_{li}"))
+                                     dtype=tdt, name=f"layers_{li}"))
                 elif t == "LKA":
                     layers.append(LKABlock(cfg.d_model, 4.0,
                                            name=f"layers_{li}"))
@@ -173,7 +189,7 @@ class CascadeFeatureTransformer(nn.Module):
                     layers.append(qtb(
                         cfg.d_model, cfg.nhead, tuple(cfg.topks),
                         scale=len(cfg.topks), attn_type="Guided",
-                        name=f"layers_{li}"))
+                        dtype=tdt, name=f"layers_{li}"))
                 elif t == "POLA":
                     layers.append(pola(
                         cfg.d_model, cfg.nhead, window_size=aws,
@@ -181,7 +197,7 @@ class CascadeFeatureTransformer(nn.Module):
                 elif t == "linear":
                     layers.append(enc(
                         cfg.d_model, cfg.nhead, "linear",
-                        name=f"layers_{li}"))
+                        dtype=tdt, name=f"layers_{li}"))
                 else:
                     raise NotImplementedError(t)
             elif name == "cross":
@@ -189,7 +205,7 @@ class CascadeFeatureTransformer(nn.Module):
                     cfg.d_model, cfg.nhead, dilated=cfg.dilated,
                     window_structured=(cfg.propagation == "window"
                                        and cfg.dilated == 1),
-                    name=f"layers_{li}"))
+                    dtype=tdt, name=f"layers_{li}"))
             else:
                 raise NotImplementedError(name)
         self.layers = layers
@@ -321,6 +337,11 @@ class CascadeFeatureTransformer(nn.Module):
                           rel_pe_c01),
                     layer(feat1, feat0, (H1, W1), (H0, W0), idx_c10_w,
                           rel_pe_c10))
+
+        # matching heads / detector are f32 (CLAUDE.md precision invariant);
+        # the stack may have computed in bf16 (transformer_dtype)
+        feat0 = feat0.astype(jnp.float32)
+        feat1 = feat1.astype(jnp.float32)
 
         if idx_c01_full is None:
             idx_c01_out = idx_c01_x2

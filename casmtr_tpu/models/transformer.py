@@ -23,24 +23,44 @@ from casmtr_tpu.ops.quadtree import qtatt_a, qtatt_b, qtatt_guided
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def transformer_dtype():
+    """COMPUTE dtype for the coarse/cascade transformer stacks: bf16 on TPU,
+    f32 elsewhere.  The reference runs these modules under fp16 autocast in
+    training and eval (test.py:74); bf16 is the TPU equivalent.  Params and
+    normalization statistics stay f32 (flax), attention scores/softmaxes stay
+    f32 (preferred_element_type / explicit upcasts in casmtr_tpu.ops), and
+    the stack outputs are cast back to f32 before any matching head
+    (CLAUDE.md precision invariant).  ``CASMTR_TRANSFORMER_BF16=0/1``
+    forces (0 reproduces the r1-r5 f32-glue behavior)."""
+    import os
+    v = os.environ.get("CASMTR_TRANSFORMER_BF16")
+    if v is not None:
+        return jnp.bfloat16 if v == "1" else jnp.float32
+    return (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+            else jnp.float32)
+
+
 class Mlp(nn.Module):
     """fc1 -> ReLU -> 3x3 depthwise conv -> GELU -> fc2
     (reference transformer.py:53-92)."""
     hidden: int
     out: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, h: int, w: int):
         B, L, _ = x.shape
-        x = nn.Dense(self.hidden, kernel_init=_TRUNC, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC, name="fc1",
+                     dtype=self.dtype)(x)
         x = nn.relu(x)
         xi = x.reshape(B, h, w, self.hidden)
         xi = nn.Conv(self.hidden, (3, 3), padding=1,
                      feature_group_count=self.hidden,
-                     name="dwconv_dwconv")(xi)
+                     name="dwconv_dwconv", dtype=self.dtype)(xi)
         x = xi.reshape(B, L, self.hidden)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, kernel_init=_TRUNC, name="fc2")(x)
+        return nn.Dense(self.out, kernel_init=_TRUNC, name="fc2",
+                        dtype=self.dtype)(x)
 
 
 class LoFTREncoderLayer(nn.Module):
@@ -49,27 +69,37 @@ class LoFTREncoderLayer(nn.Module):
     d_model: int
     nhead: int
     attention: str = "linear"
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, source, x_mask=None, source_mask=None):
         B = x.shape[0]
         D = self.d_model // self.nhead
-        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(source)
-        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(source)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            source = source.astype(self.dtype)
+        q = nn.Dense(self.d_model, use_bias=False, name="q_proj",
+                     dtype=self.dtype)(x)
+        k = nn.Dense(self.d_model, use_bias=False, name="k_proj",
+                     dtype=self.dtype)(source)
+        v = nn.Dense(self.d_model, use_bias=False, name="v_proj",
+                     dtype=self.dtype)(source)
         q = q.reshape(B, -1, self.nhead, D)
         k = k.reshape(B, -1, self.nhead, D)
         v = v.reshape(B, -1, self.nhead, D)
         attn = linear_attention if self.attention == "linear" else full_attention
         msg = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
         msg = msg.reshape(B, -1, self.d_model).astype(x.dtype)
-        msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
-        msg = nn.LayerNorm(epsilon=1e-5, name="norm1")(msg)
+        msg = nn.Dense(self.d_model, use_bias=False, name="merge",
+                       dtype=self.dtype)(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(msg)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0")(y)
+        y = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0",
+                     dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, use_bias=False, name="mlp_2")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp_2",
+                     dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(y)
         return x + y
 
 
@@ -85,6 +115,7 @@ class QuadtreeAttention(nn.Module):
     scale: int = 3
     attn_type: str = "B"
     lepe: bool = False
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, target, hw_x: Tuple[int, int],
@@ -97,9 +128,12 @@ class QuadtreeAttention(nn.Module):
         xi = x.reshape(B, h, w, C)
         ti = target.reshape(B, h1, w1, C)
         # 1x1 convs == position-wise dense (reference uses Conv2d k=1)
-        q = nn.Dense(self.dim, use_bias=False, name="q_proj")(xi)
-        k = nn.Dense(self.dim, use_bias=False, name="k_proj")(ti)
-        v = nn.Dense(self.dim, use_bias=False, name="v_proj")(ti)
+        q = nn.Dense(self.dim, use_bias=False, name="q_proj",
+                     dtype=self.dtype)(xi)
+        k = nn.Dense(self.dim, use_bias=False, name="k_proj",
+                     dtype=self.dtype)(ti)
+        v = nn.Dense(self.dim, use_bias=False, name="v_proj",
+                     dtype=self.dtype)(ti)
 
         # bf16 pyramid on TPU: the gather tables/einsum inputs halve in size
         # and feed the MXU natively; all contractions accumulate in f32
@@ -133,7 +167,7 @@ class QuadtreeAttention(nn.Module):
                 vi = vs[self.scale - 1 - i].reshape(B, hh, ww, self.dim)
                 le = nn.Conv(self.dim, (3, 3), padding=1,
                              feature_group_count=self.dim,
-                             name=f"get_vs_{i}")(vi)
+                             name=f"get_vs_{i}", dtype=self.dtype)(vi)
                 lepe_msgs.append(le.reshape(B, hh * ww, self.num_heads, D))
             lepe_msgs = list(reversed(lepe_msgs))  # finest-first
 
@@ -146,7 +180,8 @@ class QuadtreeAttention(nn.Module):
             msg = qtatt_b(qs, ks, vs, sizes, list(self.topks), weight,
                           lepe=lepe_msgs, rel_pos=rel_pos)
         msg = msg.reshape(B, L, self.dim).astype(x.dtype)
-        return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj")(msg)
+        return nn.Dense(self.dim, kernel_init=_TRUNC, name="proj",
+                        dtype=self.dtype)(msg)
 
 
 class QuadtreeBlock(nn.Module):
@@ -158,17 +193,23 @@ class QuadtreeBlock(nn.Module):
     scale: int = 3
     attn_type: str = "B"
     mlp_ratio: float = 4.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, target, hw_x, hw_t, topk_pos=None, rel_pos=None):
-        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            target = target.astype(self.dtype)
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)
         attn = QuadtreeAttention(self.dim, self.num_heads, self.topks,
                                  scale=self.scale, attn_type=self.attn_type,
-                                 name="attn")
+                                 name="attn", dtype=self.dtype)
         x = x + attn(norm1(x), norm1(target), hw_x, hw_t, topk_pos=topk_pos,
                      rel_pos=rel_pos)
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), hw_x[0], hw_x[1])
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp",
+                    dtype=self.dtype)(
+            nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x),
+            hw_x[0], hw_x[1])
         return x
 
 
@@ -228,6 +269,7 @@ class LocalFeatureTransformer(nn.Module):
     def __call__(self, feat0, feat1, hw0: Tuple[int, int], hw1: Tuple[int, int],
                  mask0=None, mask1=None):
         cfg = self.config
+        tdt = transformer_dtype()
         # rematerialize each layer in the backward pass: the quadtree gather
         # tensors ([B, P, 4K, H, D] per level) would otherwise be stored as
         # autodiff residuals and dominate HBM (measured: OOM at 704^2 train)
@@ -240,11 +282,12 @@ class LocalFeatureTransformer(nn.Module):
             if cfg.block_type == "loftr":
                 layers.append(enc_cls(
                     cfg.d_model, cfg.nhead, cfg.attention,
-                    name=f"layers_{li}"))
+                    name=f"layers_{li}", dtype=tdt))
             elif cfg.block_type == "quadtree":
                 layers.append(qt_cls(
                     cfg.d_model, cfg.nhead, tuple(cfg.topks),
-                    scale=3, attn_type=cfg.attn_type, name=f"layers_{li}"))
+                    scale=3, attn_type=cfg.attn_type, name=f"layers_{li}",
+                    dtype=tdt))
             else:
                 raise ValueError(cfg.block_type)
 
@@ -272,4 +315,6 @@ class LocalFeatureTransformer(nn.Module):
                                           rel_pos),
                                     layer(feat1, feat0, hw1, hw0, None,
                                           rel_pos))
-        return feat0, feat1
+        # matching heads are f32 (CLAUDE.md precision invariant); the stack
+        # may have computed in bf16 (transformer_dtype)
+        return feat0.astype(jnp.float32), feat1.astype(jnp.float32)
