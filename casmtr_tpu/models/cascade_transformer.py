@@ -149,15 +149,18 @@ class CascadeFeatureTransformer(nn.Module):
     config: CascadeStageConfig
     train_size: int
     remat: bool = True
+    # static mode flag for the dtype policy (see transformer_dtype)
+    train_mode: bool = False
 
     def setup(self):
         cfg = self.config
         self.window, self.full_window = get_propagations(
             cfg.propagation, cfg.window_size, cfg.dilated)
         aws = cfg.attn_window_size or cfg.window_size
-        # compute dtype for the stack (bf16 on TPU, reference fp16 autocast);
-        # POLA/LKA blocks keep their own f32 internals (indoor zoo, small)
-        tdt = transformer_dtype()
+        # compute dtype for the stack (bf16 on TPU in eval, f32 in train —
+        # see transformer_dtype; reference fp16 autocast); POLA/LKA blocks
+        # keep their own f32 internals (indoor zoo, small)
+        tdt = transformer_dtype(self.train_mode)
         # remat each block (static_argnums count `self` as 0; the spatial-dim
         # arguments are python ints/tuples)
         if self.remat:

@@ -144,7 +144,8 @@ class CasMTR(nn.Module):
         t8_0 = x8_0.reshape(B, -1, x8_0.shape[-1])
         t8_1 = x8_1.reshape(B, -1, x8_1.shape[-1])
         t8_0, t8_1 = LocalFeatureTransformer(
-            cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse_8c")(
+            cfg.coarse, ts // 8, remat=cfg.remat, train_mode=train,
+            name="loftr_coarse_8c")(
                 t8_0, t8_1, hw0_8c, hw1_8c, mask_8c0, mask_8c1)
 
         # rt/rd test gates of any later cascade stage consume the coarse
@@ -194,6 +195,7 @@ class CasMTR(nn.Module):
             t4_0 = x4_0.reshape(B, -1, x4_0.shape[-1])
             t4_1 = x4_1.reshape(B, -1, x4_1.shape[-1])
             cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4, remat=cfg.remat,
+                                             train_mode=train,
                                              name="loftr_coarse_4c")
             (t4_0, t4_1, idx_4c01, idx_4c10, heat4,
              corners_4c01, corners_4c10) = cft4(
@@ -290,6 +292,7 @@ class CasMTR(nn.Module):
             t2_0 = x2_0.reshape(B, -1, x2_0.shape[-1])
             t2_1 = x2_1.reshape(B, -1, x2_1.shape[-1])
             cft2 = CascadeFeatureTransformer(cfg.coarse3, ts // 2, remat=cfg.remat,
+                                             train_mode=train,
                                              name="loftr_coarse_2c")
             (t2_0, t2_1, idx_2c01, idx_2c10, heat2,
              corners_2c01, corners_2c10) = cft2(
@@ -374,7 +377,8 @@ class CasMTR(nn.Module):
                     fine_feat0, fine_feat1, fine_ctx0, fine_ctx1,
                     fine_level_matches, fine_hw_c0, fine_hw_c1)
             ff0, ff1 = LocalFeatureTransformer(
-                cfg.fine, ts // 2, remat=cfg.remat, name="loftr_fine")(
+                cfg.fine, ts // 2, remat=cfg.remat, train_mode=train,
+                name="loftr_fine")(
                     ff0, ff1, (Wf, Wf), (Wf, Wf))
             fr = fm.fine_match(ff0, ff1)
             s1 = (scale1[fine_level_matches.b_ids]

@@ -85,8 +85,12 @@ class CasMTRRefine(nn.Module):
         mask_8c1, m8_1 = level_mask(mask1_full, *hw1_8c)
         t8_0 = x8_0.reshape(B, -1, x8_0.shape[-1])
         t8_1 = x8_1.reshape(B, -1, x8_1.shape[-1])
+        # the trunk is frozen (stop_gradient below) — no backward ever flows
+        # through it, so it keeps the eval dtype policy (bf16 on TPU) even
+        # when the refine stages train
         t8_0, t8_1 = LocalFeatureTransformer(
-            cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse")(
+            cfg.coarse, ts // 8, remat=cfg.remat, train_mode=False,
+            name="loftr_coarse")(
                 t8_0, t8_1, hw0_8c, hw1_8c, mask_8c0, mask_8c1)
         t8_0 = jax.lax.stop_gradient(t8_0)
         t8_1 = jax.lax.stop_gradient(t8_1)
@@ -135,6 +139,7 @@ class CasMTRRefine(nn.Module):
             t4_0 = x4_0.reshape(B, -1, x4_0.shape[-1])
             t4_1 = x4_1.reshape(B, -1, x4_1.shape[-1])
             cft4 = CascadeFeatureTransformer(cfg.coarse2, ts // 4, remat=cfg.remat,
+                                             train_mode=train,
                                              name="loftr_coarse_4c")
             (t4_0, t4_1, idx_4c01, idx_4c10, heat4,
              corners_4c01, corners_4c10) = cft4(
@@ -197,7 +202,8 @@ class CasMTRRefine(nn.Module):
                 name="cas_fine_preprocess")(
                     feat_f0, feat_f1, t4_0, t4_1, matches_4c, hw0_4c, hw1_4c)
             ff0, ff1 = LocalFeatureTransformer(
-                cfg.fine, ts // 2, remat=cfg.remat, name="cas_loftr_fine")(
+                cfg.fine, ts // 2, remat=cfg.remat, train_mode=train,
+                name="cas_loftr_fine")(
                     ff0, ff1, (Wf, Wf), (Wf, Wf))
             fr = fm.fine_match(ff0, ff1)
             s1 = scale1[matches_4c.b_ids] if scale1 is not None else None

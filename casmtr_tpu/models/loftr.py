@@ -74,7 +74,8 @@ class QuadtreeLoFTR(nn.Module):
         f0 = feat_c0.reshape(B, -1, feat_c0.shape[-1])
         f1 = feat_c1.reshape(B, -1, feat_c1.shape[-1])
         f0, f1 = LocalFeatureTransformer(
-            cfg.coarse, ts // 8, remat=cfg.remat, name="loftr_coarse")(
+            cfg.coarse, ts // 8, remat=cfg.remat, train_mode=train,
+            name="loftr_coarse")(
                 f0, f1, hc0, hc1, mask_c0, mask_c1)
 
         ds = matching.dual_softmax(
@@ -96,7 +97,8 @@ class QuadtreeLoFTR(nn.Module):
             cat_c_feat=cfg.fine_concat_coarse_feat, name="fine_preprocess")(
                 feat_f0, feat_f1, f0, f1, coarse_matches, hc0, hc1)
         ff0, ff1 = LocalFeatureTransformer(
-            cfg.fine, ts // 2, remat=cfg.remat, name="loftr_fine")(
+            cfg.fine, ts // 2, remat=cfg.remat, train_mode=train,
+            name="loftr_fine")(
                 ff0, ff1, (W, W), (W, W))
         fr = fm.fine_match(ff0, ff1)
         s1 = scale1[coarse_matches.b_ids] if scale1 is not None else None

@@ -23,19 +23,27 @@ from casmtr_tpu.ops.quadtree import qtatt_a, qtatt_b, qtatt_guided
 _TRUNC = nn.initializers.truncated_normal(stddev=0.02)
 
 
-def transformer_dtype():
-    """COMPUTE dtype for the coarse/cascade transformer stacks: bf16 on TPU,
-    f32 elsewhere.  The reference runs these modules under fp16 autocast in
-    training and eval (test.py:74); bf16 is the TPU equivalent.  Params and
-    normalization statistics stay f32 (flax), attention scores/softmaxes stay
-    f32 (preferred_element_type / explicit upcasts in casmtr_tpu.ops), and
-    the stack outputs are cast back to f32 before any matching head
-    (CLAUDE.md precision invariant).  ``CASMTR_TRANSFORMER_BF16=0/1``
-    forces (0 reproduces the r1-r5 f32-glue behavior)."""
+def transformer_dtype(train: bool = False):
+    """COMPUTE dtype for the coarse/cascade transformer stacks, chosen by
+    MODE: bf16 on TPU in eval, f32 in train.  The reference runs these
+    modules under fp16 autocast in training and eval (test.py:74); on TPU
+    the measured A/B (r5, docs/evidence_r5/r5lm_ab.md) splits — eval fwd is
+    3.5% faster in bf16 (no backward; 5.873 vs 5.672 pairs/s b1 at 832²),
+    while the TRAIN step is ~1% faster with the stack in f32 (0.3385 vs
+    0.3423 s: the bf16 backward's dtype-convert glue around the f32
+    matching-head/LayerNorm boundaries outweighs the matmul saving at these
+    shapes).  Params and normalization statistics stay f32 (flax), attention
+    scores/softmaxes stay f32 (preferred_element_type / explicit upcasts in
+    casmtr_tpu.ops), and the stack outputs are cast back to f32 before any
+    matching head (CLAUDE.md precision invariant).
+    ``CASMTR_TRANSFORMER_BF16=0/1`` forces either dtype in BOTH modes
+    (0 reproduces the r1-r5 f32-glue behavior)."""
     import os
     v = os.environ.get("CASMTR_TRANSFORMER_BF16")
     if v is not None:
         return jnp.bfloat16 if v == "1" else jnp.float32
+    if train:
+        return jnp.float32
     return (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
             else jnp.float32)
 
@@ -242,6 +250,9 @@ class LocalFeatureTransformer(nn.Module):
     config: CoarseConfig
     train_size: int
     remat: bool = True
+    # static mode flag for the dtype policy (train graphs are already traced
+    # separately from eval graphs — BatchNorm/supervision differ)
+    train_mode: bool = False
 
     def _rel_pos_2d(self, h: int, w: int, scale_i: int, nhead: int):
         """Per-pyramid-level 2D relative PE [1, nhead, hw, hw]
@@ -269,7 +280,7 @@ class LocalFeatureTransformer(nn.Module):
     def __call__(self, feat0, feat1, hw0: Tuple[int, int], hw1: Tuple[int, int],
                  mask0=None, mask1=None):
         cfg = self.config
-        tdt = transformer_dtype()
+        tdt = transformer_dtype(self.train_mode)
         # rematerialize each layer in the backward pass: the quadtree gather
         # tensors ([B, P, 4K, H, D] per level) would otherwise be stored as
         # autodiff residuals and dominate HBM (measured: OOM at 704^2 train)

@@ -6,6 +6,11 @@ Mirrors tests/test_backbone_bf16.py: the reference runs these modules under
 fp16 autocast (test.py:74), the TPU build computes in bf16 with f32
 params/softmaxes and casts back to f32 at the stack boundary so the matching
 heads (f32 per the precision invariant) see an unchanged interface.
+
+The default is MODE-DEPENDENT (measured on device, docs/evidence_r5):
+bf16 in eval (no backward — pure fwd win), f32 in train (the bf16
+backward's convert glue costs more than the matmul saving at these
+shapes).  The env var forces either dtype in both modes.
 """
 
 import jax
@@ -59,6 +64,23 @@ def test_bf16_transformer_matches_f32(monkeypatch, block_type):
     assert sa == sb
     for leaf in jax.tree_util.tree_leaves(variables_bf["params"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_transformer_dtype_mode_dependent_default(monkeypatch):
+    """Without the env override the policy is per-mode: f32 in train, and
+    platform-dependent (bf16 only on TPU) in eval.  CPU tests therefore see
+    f32 either way; the env var forces both modes."""
+    monkeypatch.delenv("CASMTR_TRANSFORMER_BF16", raising=False)
+    assert transformer_dtype(train=True) == jnp.float32
+    expected_eval = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+                     else jnp.float32)
+    assert transformer_dtype(train=False) == expected_eval
+    monkeypatch.setenv("CASMTR_TRANSFORMER_BF16", "1")
+    assert transformer_dtype(train=True) == jnp.bfloat16
+    assert transformer_dtype(train=False) == jnp.bfloat16
+    monkeypatch.setenv("CASMTR_TRANSFORMER_BF16", "0")
+    assert transformer_dtype(train=True) == jnp.float32
+    assert transformer_dtype(train=False) == jnp.float32
 
 
 def test_bf16_transformer_gradients_finite(monkeypatch):
