@@ -34,7 +34,12 @@ BASELINE_S_PER_STEP = 1.19
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=704)
-    p.add_argument("--iters", type=int, default=5)
+    # 10 iters per chained-scan call: the single scalar fetch that ends a
+    # measurement costs ~26-29 ms through the relay, so at 5 iters it
+    # inflated the reported s/step by ~1.7% (0.3385 steady vs 0.3426-0.3459
+    # in bare fresh-process runs); 10 halves that and matches the chain
+    # scripts' --iters 10 graphs (same scan length -> same compile cache key)
+    p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--backbone", choices=["twins", "resnet"], default="twins",
                    help="twins = the released outdoor 4c recipe (headline); "

@@ -284,6 +284,15 @@ class CascadeFeatureTransformer(nn.Module):
         """feat0/feat1: [B, L, C] at this level; idx_c01/idx_c10: [B, L/4]
         previous-stage best-match indices (on the 2x-coarser grid). Returns
         (feat0, feat1, idx_c01_full [B, L0, 4ww], idx_c10_full, heatmap0)."""
+        if train != self.train_mode:
+            # the compute dtype is chosen at construction (setup) from
+            # train_mode; a mismatched call-time flag would run train-mode
+            # block semantics on the eval bf16 stack (or vice versa)
+            raise ValueError(
+                "CascadeFeatureTransformer: call-time train flag "
+                f"({train}) must match the train_mode constructor flag "
+                f"({self.train_mode}) — pass train_mode=train when "
+                "constructing")
         cfg = self.config
         H0, W0 = hw0
         H1, W1 = hw1

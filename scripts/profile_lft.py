@@ -8,7 +8,9 @@ rng = np.random.default_rng(0)
 h8 = size // 8
 t80 = jnp.asarray(rng.standard_normal((1, h8*h8, 256)).astype(np.float32))
 t81 = jnp.asarray(rng.standard_normal((1, h8*h8, 256)).astype(np.float32))
-lft = LocalFeatureTransformer(cfg.coarse, h8)
+# train_mode=True: this microbench feeds the TRAIN-step budget (PERF.md),
+# and the dtype policy is mode-dependent (f32 train / bf16 eval)
+lft = LocalFeatureTransformer(cfg.coarse, h8, train_mode=True)
 params = lft.init(jax.random.PRNGKey(0), t80, t81, (h8,h8), (h8,h8))
 N = 4
 

@@ -28,7 +28,8 @@ h8 = f8.shape[1]
 x8 = add_sine_pe_norm(f8, (size//8, size//8))
 t80, t81 = jnp.split(x8.reshape(2, -1, x8.shape[-1]), 2, axis=0)
 
-lft = LocalFeatureTransformer(cfg.coarse, size//8)
+# train_mode=True: train-step budget attribution (dtype policy is per-mode)
+lft = LocalFeatureTransformer(cfg.coarse, size//8, train_mode=True)
 pl_ = lft.init(jax.random.PRNGKey(0), t80, t81, (h8,h8), (h8,h8))
 f_coarse = jax.jit(lambda v, a, b: lft.apply(v, a, b, (h8,h8), (h8,h8))[0])
 timed("coarse_transformer(6 quadtree layers)", f_coarse, pl_, t80, t81)

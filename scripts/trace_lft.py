@@ -7,7 +7,8 @@ rng = np.random.default_rng(0)
 h8 = size // 8
 t80 = jnp.asarray(rng.standard_normal((1, h8*h8, 256)).astype(np.float32))
 t81 = jnp.asarray(rng.standard_normal((1, h8*h8, 256)).astype(np.float32))
-lft = LocalFeatureTransformer(cfg.coarse, h8)
+# train_mode=True: train-step budget attribution (dtype policy is per-mode)
+lft = LocalFeatureTransformer(cfg.coarse, h8, train_mode=True)
 params = lft.init(jax.random.PRNGKey(0), t80, t81, (h8,h8), (h8,h8))
 f = jax.jit(lambda v,a,b: lft.apply(v, a, b, (h8,h8), (h8,h8))[0].sum())
 print(float(f(params, t80, t81)), flush=True)
